@@ -1,0 +1,99 @@
+import numpy as np
+
+from bshot_slam_tpu.config import SensorConfig, VLP16_SENSOR
+from bshot_slam_tpu.io import pcap, synthetic, velodyne
+from bshot_slam_tpu.ops.rangeimage import build_range_image
+
+
+def small_sensor():
+    return SensorConfig(n_azimuth=128)
+
+
+def test_packet_roundtrip():
+    sensor = SensorConfig(n_azimuth=64)
+    scene = synthetic.default_scene(0)
+    pose = synthetic.straight_trajectory(1)[0]
+    sweep = synthetic.render_sweep(scene, sensor, pose, n_firings=64)
+    payloads = velodyne.encode_packets([sweep, sweep], sensor)
+    assert payloads.shape[1] == velodyne.PACKET_SIZE
+    sweeps = velodyne.sweeps_from_payloads(payloads, sensor)
+    # First decoded sweep must match the rendered one (2nd is the tail, dropped).
+    assert len(sweeps) >= 1
+    got = sweeps[0]
+    # Compare via range-image binning (firing order may legally differ).
+    ri_a = build_range_image(sweep, sensor)
+    ri_b = build_range_image(got, sensor)
+    np.testing.assert_allclose(ri_b.range_mm, ri_a.range_mm, atol=1e-3)
+
+
+def test_pcap_roundtrip(tmp_path):
+    sensor = SensorConfig(n_azimuth=64)
+    scene = synthetic.default_scene(1)
+    pose = synthetic.straight_trajectory(1)[0]
+    sweep = synthetic.render_sweep(scene, sensor, pose, n_firings=64)
+    payloads = velodyne.encode_packets([sweep], sensor)
+    path = str(tmp_path / "test.pcap")
+    pcap.write_udp_payloads(path, payloads)
+    back, ts = pcap.read_udp_payloads(path)
+    np.testing.assert_array_equal(back, payloads)
+    assert ts.shape[0] == payloads.shape[0]
+
+
+def test_sweep_split_boundaries():
+    az = np.array([10.0, 200.0, 350.0, 5.0, 180.0, 355.0, 2.0])
+    ring = np.zeros(7, np.int32)
+    dist = np.arange(7, dtype=np.uint16)
+    inten = np.zeros(7, np.uint8)
+    sweeps = velodyne.split_sweeps(az, ring, dist, inten)
+    assert len(sweeps) == 2
+    assert len(sweeps[0]) == 3 and len(sweeps[1]) == 3
+
+
+def test_vlp16_azimuth_interpolation():
+    # Two firing sequences per block: lasers >= 16 get the half-step azimuth.
+    payload = np.zeros((1, velodyne.PACKET_SIZE), np.uint8)
+    pkt = payload.view(velodyne._PACKET_DTYPE).reshape(1)
+    for f in range(velodyne.FIRING_PER_PKT):
+        pkt[0]["firings"][f]["azimuth"] = 1000 + 40 * f  # 0.4 deg per block
+        pkt[0]["firings"][f]["returns"]["distance"] = 500
+    pkt[0]["sensor_type"] = velodyne.SENSOR_VLP16
+    az, ring, dist, inten = velodyne.decode_packets(payload, VLP16_SENSOR)
+    az0 = az[: velodyne.LASER_PER_FIRING]
+    assert np.allclose(az0[:16], 10.0)
+    assert np.allclose(az0[16:], 10.2)  # +half of 0.4 deg
+    assert (ring[:32] == np.arange(32) % 16).all()
+
+
+def test_range_image_binning():
+    sensor = small_sensor()
+    sweep = velodyne.LaserSweep(
+        azimuth_deg=np.array([0.1, 90.0, 180.0]),
+        ring=np.array([0, 1, 31], np.int32),  # firing-order ids
+        distance=np.array([1000, 2000, 3000], np.uint16),
+        intensity=np.zeros(3, np.uint8),
+    )
+    ri = build_range_image(sweep, sensor)
+    vert = np.asarray(sensor.vertical_angles_deg)
+    row0 = np.searchsorted(np.sort(vert), vert[0])
+    row1 = np.searchsorted(np.sort(vert), vert[1])
+    row31 = np.searchsorted(np.sort(vert), vert[31])
+    assert ri.range_mm[row0, 0] == 2000.0  # 1000 ticks * 2 mm
+    assert ri.range_mm[row1, 32] == 4000.0
+    assert ri.range_mm[row31, 64] == 6000.0
+    # exact azimuth preserved
+    assert np.isclose(ri.azimuth_rad[row0, 0], np.deg2rad(0.1))
+
+
+def test_synthetic_ground_distance():
+    # Straight down-looking rays must hit ground at H / sin(|v|).
+    sensor = SensorConfig(n_azimuth=32)
+    scene = synthetic.Scene(boxes=[])
+    pose = synthetic.straight_trajectory(1)[0]
+    sweep = synthetic.render_sweep(scene, sensor, pose, n_firings=32)
+    ri = build_range_image(sweep, sensor)
+    v = ri.vert_rad
+    with np.errstate(divide="ignore"):
+        expect = np.where(v < 0, 2450.0 / np.maximum(np.abs(np.sin(v)), 1e-12), 0.0)
+    expect = np.where(expect >= synthetic.MAX_RANGE_MM, 0.0, expect)
+    got = ri.range_mm[:, 5]
+    np.testing.assert_allclose(got, expect, rtol=5e-3)
