@@ -1,0 +1,204 @@
+"""SHOT-352 local descriptors, fully reimplemented for TPU (JAX).
+
+The reference outsources SHOT to `pcl::SHOTEstimationOMP` (reference:
+include/bshot_bits.h:113-135); nothing TPU-side provides it, so this module
+rebuilds the descriptor from the SHOT formulation (Tombari et al., "Unique
+Signatures of Histograms for Local Surface Description"):
+
+  1. Local reference frame (LRF): eigenvectors of the distance-weighted
+     neighborhood covariance (weights r - d), signs disambiguated toward the
+     neighbor majority.
+  2. Signature: neighbors binned over 8 azimuth x 2 elevation x 2 radial
+     spatial volumes x 11 bins of cos(angle between neighbor normal and LRF
+     z-axis) = 352 values, with multilinear soft-binning across all four
+     dimensions (the paper's quadrilinear interpolation; not bit-exact with
+     PCL's incremental variant, but both ends of every match are produced by
+     this implementation so consistency is what matters), then L2
+     normalization.
+
+Everything is fixed-shape: each keypoint gathers its `max_neighbors`
+nearest in-radius surface points; histogram accumulation is one batched
+one-hot matmul-style scatter, so the whole descriptor batch is a single
+fused XLA program instead of the reference's per-keypoint OpenMP loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bshot_slam_tpu.config import DescriptorConfig
+from bshot_slam_tpu.ops.keypoints import _pair_d2
+
+_EPS = 1e-12
+
+
+class NeighborGather(NamedTuple):
+    rel: jnp.ndarray  # (K, M, 3) neighbor - keypoint
+    normals: jnp.ndarray  # (K, M, 3)
+    dist: jnp.ndarray  # (K, M)
+    nmask: jnp.ndarray  # (K, M) within-radius validity
+
+
+def gather_neighbors(
+    keypoints: jnp.ndarray,
+    kp_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    normals: jnp.ndarray,
+    radius: float,
+    max_neighbors: int,
+) -> NeighborGather:
+    """Nearest `max_neighbors` in-radius surface points per keypoint.
+
+    Zero-distance duplicates of the keypoint are excluded, matching PCL's
+    skip of coincident neighbors in the SHOT loop.
+    """
+    d2 = _pair_d2(keypoints, points)  # (K, N)
+    r2 = radius * radius
+    ok = mask[None, :] & (d2 <= r2) & (d2 > 0) & kp_mask[:, None]
+    score = jnp.where(ok, -d2, -jnp.inf)
+    _, idx = jax.lax.top_k(score, max_neighbors)  # (K, M)
+    nmask = jnp.take_along_axis(ok, idx, axis=1)
+    nb = points[idx]  # (K, M, 3)
+    nn = normals[idx]
+    rel = nb - keypoints[:, None, :]
+    dist = jnp.sqrt(jnp.take_along_axis(d2, idx, axis=1))
+    rel = jnp.where(nmask[..., None], rel, 0.0)
+    nn = jnp.where(nmask[..., None], nn, 0.0)
+    return NeighborGather(rel=rel, normals=nn, dist=jnp.where(nmask, dist, 0.0),
+                          nmask=nmask)
+
+
+def local_reference_frames(
+    g: NeighborGather, radius: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Disambiguated LRF per keypoint.
+
+    Returns (frames (K, 3, 3) with rows [x, y, z], valid (K,)).  Weighted
+    covariance with w = r - d, eigenvectors sorted descending; x and z signs
+    chosen so the majority of neighbors lies on the positive side, y = z x x
+    (SHOT paper sec. 3; PCL SHOTLocalReferenceFrameEstimation semantics).
+    """
+    w = jnp.where(g.nmask, radius - g.dist, 0.0)
+    wsum = jnp.sum(w, axis=1)
+    valid = wsum > _EPS
+    wn = w / jnp.maximum(wsum, _EPS)[:, None]
+    cov = jnp.einsum("km,kmi,kmj->kij", wn, g.rel, g.rel)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    x_axis = evecs[..., 2]
+    z_axis = evecs[..., 0]
+
+    def majority_flip(axis):
+        dots = jnp.einsum("kmi,ki->km", g.rel, axis)
+        npos = jnp.sum(jnp.where(g.nmask, (dots >= 0).astype(jnp.float32), 0.0), axis=1)
+        nneg = jnp.sum(jnp.where(g.nmask, (dots < 0).astype(jnp.float32), 0.0), axis=1)
+        return jnp.where((nneg > npos)[:, None], -axis, axis)
+
+    x_axis = majority_flip(x_axis)
+    z_axis = majority_flip(z_axis)
+    y_axis = jnp.cross(z_axis, x_axis)
+    frames = jnp.stack([x_axis, y_axis, z_axis], axis=-2)  # rows
+    return frames, valid
+
+
+def _soft_bins(
+    coord: jnp.ndarray, n_bins: int, circular: bool
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Linear soft-assignment of a continuous bin coordinate in [0, n_bins).
+
+    Returns (bin_lo, bin_hi, w_lo, w_hi).  Bin centers sit at i + 0.5;
+    circular dims wrap, others clamp (out-of-range weight folds into the
+    edge bin).
+    """
+    c = coord - 0.5
+    lo = jnp.floor(c)
+    frac = c - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = lo_i + 1
+    if circular:
+        lo_i = jnp.mod(lo_i, n_bins)
+        hi_i = jnp.mod(hi_i, n_bins)
+    else:
+        lo_i = jnp.clip(lo_i, 0, n_bins - 1)
+        hi_i = jnp.clip(hi_i, 0, n_bins - 1)
+    return lo_i, hi_i, 1.0 - frac, frac
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def shot_descriptors(
+    keypoints: jnp.ndarray,
+    kp_mask: jnp.ndarray,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    normals: jnp.ndarray,
+    cfg: DescriptorConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SHOT descriptors for all keypoints.
+
+    Returns (desc (K, 352) float32 L2-normalized, valid (K,)).
+    """
+    radius = cfg.shot_radius_mm
+    g = gather_neighbors(
+        keypoints, kp_mask, points, mask, normals, radius, cfg.max_neighbors
+    )
+    frames, lrf_valid = local_reference_frames(g, radius)
+
+    # Local coordinates in the LRF.
+    local = jnp.einsum("kai,kmi->kma", frames, g.rel)  # (K, M, 3) rows x,y,z
+    xl, yl, zl = local[..., 0], local[..., 1], local[..., 2]
+    d = g.dist
+
+    nA, nE, nR, nC = (
+        cfg.n_azimuth_bins, cfg.n_elevation_bins, cfg.n_radial_bins,
+        cfg.n_cosine_bins,
+    )
+
+    # Azimuth in [0, 2pi) -> continuous bin coord.
+    az = jnp.arctan2(yl, xl)
+    az = jnp.where(az < 0, az + 2.0 * jnp.pi, az)
+    az_coord = az / (2.0 * jnp.pi) * nA
+    a_lo, a_hi, aw_lo, aw_hi = _soft_bins(az_coord, nA, circular=True)
+
+    # Elevation: 2 hemispheres, soft around the equator plane scaled by the
+    # local support extent.
+    el_coord = jnp.clip(zl / jnp.maximum(radius, _EPS) + 1.0, 0.0, 2.0 - 1e-6) / 2.0 * nE
+    e_lo, e_hi, ew_lo, ew_hi = _soft_bins(el_coord, nE, circular=False)
+
+    # Radial: inner/outer shells split at r/2.
+    r_coord = jnp.clip(d / radius, 0.0, 1.0 - 1e-6) * nR
+    r_lo, r_hi, rw_lo, rw_hi = _soft_bins(r_coord, nR, circular=False)
+
+    # Cosine of (neighbor normal, LRF z): 11 bins over [-1, 1].
+    cosine = jnp.einsum("kmi,ki->km", g.normals, frames[:, 2, :])
+    cosine = jnp.clip(cosine, -1.0, 1.0)
+    c_coord = (cosine + 1.0) / 2.0 * nC
+    c_coord = jnp.minimum(c_coord, nC - 1e-6)
+    c_lo, c_hi, cw_lo, cw_hi = _soft_bins(c_coord, nC, circular=False)
+
+    wgt = g.nmask.astype(jnp.float32)
+
+    desc = jnp.zeros((keypoints.shape[0], nA * nE * nR * nC), jnp.float32)
+    k_idx = jnp.broadcast_to(
+        jnp.arange(keypoints.shape[0], dtype=jnp.int32)[:, None], g.nmask.shape
+    )
+
+    # 16-corner multilinear scatter.
+    for a_i, a_w in ((a_lo, aw_lo), (a_hi, aw_hi)):
+        for e_i, e_w in ((e_lo, ew_lo), (e_hi, ew_hi)):
+            for r_i, r_w in ((r_lo, rw_lo), (r_hi, rw_hi)):
+                for c_i, c_w in ((c_lo, cw_lo), (c_hi, cw_hi)):
+                    vol = (a_i * nE + e_i) * nR + r_i
+                    bin_idx = vol * nC + c_i
+                    w = wgt * a_w * e_w * r_w * c_w
+                    desc = desc.at[k_idx.reshape(-1), bin_idx.reshape(-1)].add(
+                        w.reshape(-1)
+                    )
+
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    desc = desc / jnp.maximum(norm, _EPS)
+    valid = kp_mask & lrf_valid & (norm[:, 0] > _EPS)
+    return jnp.where(valid[:, None], desc, 0.0), valid

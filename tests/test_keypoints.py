@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bshot_slam_tpu.config import KeypointConfig
+from bshot_slam_tpu.ops import keypoints as kp
+
+from tests.oracles import seg_ratio_oracle
+
+
+def _cloud(rng, n=300, pad_to=384):
+    pts = np.zeros((pad_to, 3), np.float32)
+    mask = np.zeros(pad_to, bool)
+    # clustered structure: a plane + an edge + noise blob (mm scale)
+    ground = rng.uniform([-5000, -5000, -50], [5000, 5000, 50], (n // 2, 3))
+    wall = rng.uniform([-5000, 4800, 0], [5000, 5000, 3000], (n // 4, 3))
+    blob = rng.normal(0, 700, (n - n // 2 - n // 4, 3)) + [2000, 1000, 800]
+    pts[:n] = np.concatenate([ground, wall, blob]).astype(np.float32)
+    mask[:n] = True
+    return pts, mask
+
+
+@pytest.mark.parametrize("sr_type", ["CV", "CVS", "CVSN"])
+def test_scores_match_oracle(rng, sr_type):
+    pts, mask = _cloud(rng)
+    cfg = KeypointConfig(sr_type=sr_type)
+    got = np.asarray(kp.seg_ratio_scores(jnp.asarray(pts), jnp.asarray(mask), cfg, tile=128))
+    want = seg_ratio_oracle(pts[mask].astype(np.float64), cfg.radius_mm, sr_type)
+    got_valid = got[mask]
+    finite = np.isfinite(want)
+    assert (np.isfinite(got_valid) == finite).all()
+    np.testing.assert_allclose(got_valid[finite], want[finite], rtol=2e-3, atol=2e-3)
+    # masked/padded entries must never score
+    assert np.all(got[~mask] == -np.inf)
+
+
+def test_extract_topk(rng):
+    pts, mask = _cloud(rng)
+    cfg = KeypointConfig(top_k=32)
+    res = kp.extract_keypoints(jnp.asarray(pts), jnp.asarray(mask), cfg, tile=128)
+    assert res.positions.shape == (32, 3)
+    scores = np.asarray(kp.seg_ratio_scores(jnp.asarray(pts), jnp.asarray(mask), cfg, tile=128))
+    order = np.sort(scores[np.isfinite(scores)])[::-1]
+    np.testing.assert_allclose(np.sort(np.asarray(res.scores))[::-1], order[:32], rtol=1e-5)
+    # positions correspond to indices
+    got_pos = np.asarray(res.positions)[np.asarray(res.mask)]
+    idx = np.asarray(res.indices)[np.asarray(res.mask)]
+    np.testing.assert_allclose(got_pos, pts[idx])
+
+
+def test_topk_fewer_than_k(rng):
+    pts = np.zeros((64, 3), np.float32)
+    mask = np.zeros(64, bool)
+    pts[:10] = rng.normal(0, 1000, (10, 3))
+    mask[:10] = True
+    cfg = KeypointConfig(top_k=32)
+    res = kp.extract_keypoints(jnp.asarray(pts), jnp.asarray(mask), cfg, tile=64)
+    assert int(res.mask.sum()) <= 10
+
+
+def test_iss_corner_detection(rng):
+    # A corner point between three orthogonal planes should be ISS-salient;
+    # plane interiors should not (lambda3 ~ 0).
+    n = 400
+    pts = []
+    g = np.linspace(0, 400, 10)
+    for a in g:
+        for b in g:
+            pts.append([a, b, 0.0])
+            pts.append([a, 0.0, b])
+            pts.append([0.0, a, b])
+    pts = np.asarray(pts, np.float32)
+    pts += rng.normal(0, 2.0, pts.shape).astype(np.float32)
+    mask = np.ones(len(pts), bool)
+    cfg = KeypointConfig(
+        iss_salient_radius_mm=150.0, iss_nonmax_radius_mm=100.0, iss_min_neighbors=5
+    )
+    res = kp.iss_keypoints(jnp.asarray(pts), jnp.asarray(mask), cfg, tile=256, max_out=64)
+    sel = np.asarray(res.positions)[np.asarray(res.mask)]
+    assert len(sel) >= 1
+    # the best keypoint should lie near the corner origin or an edge (x,y,z small in 2 coords)
+    dists_corner = np.linalg.norm(sel, axis=1)
+    assert dists_corner.min() < 250.0
+
+
+def test_repeatability_metric():
+    src = jnp.asarray(np.array([[0, 0, 0.001], [100, 0, 0], [5000, 5000, 0]], np.float32))
+    smask = jnp.asarray(np.array([True, True, True]))
+    ref = jnp.asarray(np.array([[10, 0, 0], [120, 0, 0]], np.float32))
+    rmask = jnp.asarray(np.array([True, True]))
+    # src0 within 30mm of ref0; src1 within 30 of ref1; src2 unmatched
+    r = float(kp.repeatability(src, smask, ref, rmask, 30.0))
+    assert abs(r - 2.0 / 3.0) < 1e-6
