@@ -1,0 +1,156 @@
+"""Device-resident global keypoint map with voxel-block dedup (JAX).
+
+Rebuild of the reference's two-level hash map (reference: include/mymap.h,
+src/mymap.cpp): 10 m voxel blocks of keypoints with insert-time dedup —
+a new keypoint is rejected when an existing same-block keypoint lies within
+800 mm AND has >= its seg_ratio (reference: mymap.cpp:16-24) — and AABB
+range queries at block granularity (reference: mymap.cpp:28-74).
+
+The TPU design replaces pointer-chasing hash maps with fixed-capacity
+device arrays + masks:
+
+  * positions/descriptors/seg_ratios/block coords live in (capacity, ...)
+    arrays with a valid mask and an append cursor;
+  * insertion is one batched program: an (K, C) masked distance test against
+    the existing map (MXU d2 expansion), an in-batch sequential-shadow test,
+    and a cumsum scatter append;
+  * queries return masks over the capacity axis instead of gathering —
+    downstream matching is dense masked compute, so no dynamic shapes ever
+    materialize.
+
+Deviations from the reference, by design: the reference inserts its 600
+keypoints one by one, so keypoint i sees 0..i-1 in the dedup test and a new
+keypoint at an identical snapped position silently replaces the old one
+(unordered_map assignment, mymap.cpp:23).  The batched rebuild mirrors the
+sequential visibility with a lower-triangular in-batch test but keeps
+both members of an exact-position pair only when the newcomer wins the
+seg-ratio test; block occupancy statistics match the reference to within
+the dedup tie cases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bshot_slam_tpu.config import MapConfig
+from bshot_slam_tpu.ops.keypoints import _pair_d2
+
+
+class MapState(NamedTuple):
+    positions: jnp.ndarray  # (C, 3) float32, snapped to cfg.snap_mm
+    descriptors: jnp.ndarray  # (C, 11) uint32 packed B-SHOT
+    seg_ratios: jnp.ndarray  # (C,) float32
+    blocks: jnp.ndarray  # (C, 3) int32 voxel-block coords
+    valid: jnp.ndarray  # (C,) bool
+    cursor: jnp.ndarray  # () int32 next free slot
+
+
+def init_map(cfg: MapConfig) -> MapState:
+    C = cfg.capacity
+    return MapState(
+        positions=jnp.zeros((C, 3), jnp.float32),
+        descriptors=jnp.zeros((C, 11), jnp.uint32),
+        seg_ratios=jnp.zeros((C,), jnp.float32),
+        blocks=jnp.zeros((C, 3), jnp.int32),
+        valid=jnp.zeros((C,), bool),
+        cursor=jnp.zeros((), jnp.int32),
+    )
+
+
+def snap_positions(pos: jnp.ndarray, snap_mm: float) -> jnp.ndarray:
+    """10 mm grid snap, truncating toward zero (reference: keypoint.cpp:25-29)."""
+    return jnp.trunc(pos / snap_mm) * snap_mm
+
+
+def block_coords(pos: jnp.ndarray, block_mm: float) -> jnp.ndarray:
+    """Voxel-block integer coords by rounding (reference: mymap.cpp:97-99)."""
+    return jnp.round(pos / block_mm).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_keypoints(
+    state: MapState,
+    pos: jnp.ndarray,  # (K, 3) world-frame keypoint positions
+    desc: jnp.ndarray,  # (K, 11) packed descriptors
+    seg: jnp.ndarray,  # (K,)
+    kmask: jnp.ndarray,  # (K,)
+    cfg: MapConfig,
+) -> MapState:
+    """Batched equivalent of K sequential `Map::addKeypoint` calls."""
+    pos = snap_positions(pos, cfg.snap_mm)
+    blk = block_coords(pos, cfg.block_size_mm)
+    r2 = cfg.dedup_radius_mm * cfg.dedup_radius_mm
+
+    # --- dedup against the existing map ---
+    d2 = _pair_d2(pos, state.positions)  # (K, C)
+    same_block = jnp.all(blk[:, None, :] == state.blocks[None, :, :], axis=-1)
+    blocker = (
+        state.valid[None, :]
+        & same_block
+        & (d2 < r2)
+        & (state.seg_ratios[None, :] >= seg[:, None])
+    )
+    rejected_by_map = jnp.any(blocker, axis=1)
+
+    # --- sequential-shadow dedup within the batch (i sees j < i) ---
+    d2b = _pair_d2(pos, pos)
+    same_blk_b = jnp.all(blk[:, None, :] == blk[None, :, :], axis=-1)
+    K = pos.shape[0]
+    earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
+    blocker_b = (
+        earlier
+        & kmask[None, :]
+        & same_blk_b
+        & (d2b < r2)
+        & (seg[None, :] >= seg[:, None])
+    )
+    rejected_in_batch = jnp.any(blocker_b, axis=1)
+
+    accept = kmask & ~rejected_by_map & ~rejected_in_batch
+
+    # --- cumsum scatter append ---
+    offs = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    slot = state.cursor + offs
+    C = state.positions.shape[0]
+    ok = accept & (slot < C)
+    # Inactive rows write to a scratch slot (C, via clip on an extended view
+    # is not possible) -> use scatter with drop mode on out-of-range index.
+    tgt = jnp.where(ok, slot, C)  # C is out of range -> dropped
+    new_state = MapState(
+        positions=state.positions.at[tgt].set(pos, mode="drop"),
+        descriptors=state.descriptors.at[tgt].set(desc, mode="drop"),
+        seg_ratios=state.seg_ratios.at[tgt].set(seg, mode="drop"),
+        blocks=state.blocks.at[tgt].set(blk, mode="drop"),
+        valid=state.valid.at[tgt].set(True, mode="drop"),
+        cursor=jnp.minimum(
+            state.cursor + jnp.sum(ok.astype(jnp.int32)), C
+        ).astype(jnp.int32),
+    )
+    return new_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def query_mask(
+    state: MapState, center: jnp.ndarray, range_mm: float, cfg: MapConfig
+) -> jnp.ndarray:
+    """(C,) mask of keypoints whose block intersects the +-range AABB.
+
+    Mirrors the reference's block-granularity AABB scan (reference:
+    mymap.cpp:40-49): block coord b qualifies on each axis when
+    round((c - range)/prec) <= b <= round((c + range)/prec).
+    """
+    lo = jnp.round((center - range_mm) / cfg.block_size_mm).astype(jnp.int32)
+    hi = jnp.round((center + range_mm) / cfg.block_size_mm).astype(jnp.int32)
+    inside = jnp.all(
+        (state.blocks >= lo[None, :]) & (state.blocks <= hi[None, :]), axis=-1
+    )
+    return state.valid & inside
+
+
+def map_size(state: MapState) -> jnp.ndarray:
+    """Number of stored keypoints (reference: mymap.cpp:86-93)."""
+    return jnp.sum(state.valid.astype(jnp.int32))

@@ -1,0 +1,214 @@
+"""Scan-to-map LiDAR odometry: the full per-frame step as one jitted program.
+
+Rebuild of the reference's `LidarOdometry` front end (reference:
+include/lidar_odometry.h, src/lidar_odometry.cpp) — the INITIAL/RUN state
+machine (lidar_odometry.h:18), keypoint extraction, descriptor computation,
+map-window matching, RANSAC + gating + ICP pose estimation, and global map
+insertion — with the C++ stage-by-stage host orchestration collapsed into a
+single `jax.jit` step over fixed-shape device state:
+
+    OdometryState = (global map arrays, previous-frame features, pose)
+    odometry_step(state, points, mask, key) -> (state', StepDiagnostics)
+
+Per-frame stage order mirrors odometry_test.cpp:185-193
+(extractKeypoints -> computeDescriptors -> featureMatching ->
+evaluateEstimation -> poseEstimation -> updateMap); the reference's first
+frame runs a degenerate self-match (lidar_odometry.cpp:187-194), which the
+rebuild expresses as a `select` to the identity pose on frame 0.
+
+Matching detail (reference: lidar_odometry.cpp:195-208): the candidate set
+is the global-map AABB window around the previous pose PLUS the previous
+frame's keypoints transformed into the world; source keypoints stay in the
+sensor frame, so the estimated transform IS the absolute pose.  Instead of
+gathering candidates into a dynamic buffer, matching runs densely over the
+whole fixed-capacity map with the window as a mask.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bshot_slam_tpu.config import SlamConfig
+from bshot_slam_tpu.geometry import se3
+from bshot_slam_tpu.odometry import mapstore
+from bshot_slam_tpu.ops import bshot, hamming
+from bshot_slam_tpu.ops.icp import icp_point_to_point
+from bshot_slam_tpu.ops.keypoints import extract_keypoints, seg_ratio_scores
+from bshot_slam_tpu.ops.normals import surface_normals
+from bshot_slam_tpu.ops.ransac import ransac_rigid
+from bshot_slam_tpu.ops.shot import shot_descriptors
+
+
+class FrameFeatures(NamedTuple):
+    keypoints: jnp.ndarray  # (K, 3) sensor frame
+    scores: jnp.ndarray  # (K,) seg ratios
+    descriptors: jnp.ndarray  # (K, 11) packed B-SHOT
+    mask: jnp.ndarray  # (K,) keypoint and descriptor valid
+
+
+class OdometryState(NamedTuple):
+    map: mapstore.MapState
+    ref: FrameFeatures  # previous frame's features (sensor frame)
+    ref_pose: jnp.ndarray  # (4, 4) previous frame's world pose
+    frame_idx: jnp.ndarray  # () int32
+
+
+class StepDiagnostics(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) estimated pose of this frame
+    n_mutual: jnp.ndarray  # mutual-NN correspondences before RANSAC
+    n_inliers: jnp.ndarray  # RANSAC inliers
+    gated: jnp.ndarray  # True if the pose gate rejected the estimate
+    heading_diff_rad: jnp.ndarray
+    translation_diff_mm: jnp.ndarray
+    map_size: jnp.ndarray
+    icp_rmse: jnp.ndarray
+
+
+def init_state(cfg: SlamConfig) -> OdometryState:
+    K = cfg.keypoints.top_k
+    return OdometryState(
+        map=mapstore.init_map(cfg.map),
+        ref=FrameFeatures(
+            keypoints=jnp.zeros((K, 3), jnp.float32),
+            scores=jnp.zeros((K,), jnp.float32),
+            descriptors=jnp.zeros((K, 11), jnp.uint32),
+            mask=jnp.zeros((K,), bool),
+        ),
+        ref_pose=jnp.eye(4, dtype=jnp.float32),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
+
+
+def compute_features(
+    points: jnp.ndarray, pmask: jnp.ndarray, cfg: SlamConfig, tile: int
+) -> FrameFeatures:
+    """extractKeypoints + computeDescriptors (reference:
+    lidar_odometry.cpp:51-184) as pure tensor ops."""
+    kps = extract_keypoints(points, pmask, cfg.keypoints, tile)
+    if cfg.descriptor.use_surface_normals:
+        normals, _, _ = surface_normals(
+            points, pmask, cfg.descriptor.normal_radius_mm, tile
+        )
+    else:  # reference-mimic mode: zero surface normals (bshot_bits.h:59 note)
+        normals = jnp.zeros_like(points)
+    desc_f, desc_valid = shot_descriptors(
+        kps.positions, kps.mask, points, pmask, normals, cfg.descriptor
+    )
+    words = bshot.bshot_from_shot(desc_f, cfg.descriptor)
+    return FrameFeatures(
+        keypoints=kps.positions,
+        scores=kps.scores,
+        descriptors=words,
+        mask=kps.mask & desc_valid,
+    )
+
+
+def _match_and_estimate(
+    key: jax.Array,
+    src: FrameFeatures,
+    state: OdometryState,
+    cfg: SlamConfig,
+):
+    """featureMatching + evaluateEstimation (reference:
+    lidar_odometry.cpp:186-331)."""
+    mcfg = cfg.match
+    ref_pose = state.ref_pose
+    center = se3.translation(ref_pose)
+
+    # Candidate set: map window  ∪  previous frame keypoints in world frame.
+    win = mapstore.query_mask(state.map, center, mcfg.map_query_range_mm, cfg.map)
+    ref_world = se3.apply(ref_pose, state.ref.keypoints)
+    cand_pos = jnp.concatenate([state.map.positions, ref_world], axis=0)
+    cand_desc = jnp.concatenate([state.map.descriptors, state.ref.descriptors])
+    cand_mask = jnp.concatenate([win, state.ref.mask])
+
+    matches = hamming.mutual_nn(
+        src.descriptors, src.mask, cand_desc, cand_mask
+    )
+    corr_dst = cand_pos[matches.src_to_ref]
+    cmask = matches.mutual
+
+    rr = ransac_rigid(
+        key, src.keypoints, corr_dst, cmask,
+        inlier_threshold=mcfg.ransac_inlier_th_mm,
+        iterations=mcfg.ransac_iterations,
+    )
+    T_j = rr.transform
+
+    # Pose gate (reference: lidar_odometry.cpp:267-290).
+    T_ij = se3.compose(se3.inverse(ref_pose), T_j)
+    h_diff = se3.heading_angle(T_ij)
+    t_diff = jnp.linalg.norm(se3.translation(T_ij))
+    gate = (
+        (h_diff > jnp.deg2rad(mcfg.gate_heading_deg))
+        | (t_diff > mcfg.gate_translation_mm)
+        | (rr.n_inliers < mcfg.gate_min_inliers)
+    )
+    T_est = jnp.where(gate, ref_pose, T_j)
+
+    # ICP refinement against the candidate set
+    # (reference: lidar_odometry.cpp:291-299).
+    src_est = se3.apply(T_est, src.keypoints)
+    icp = icp_point_to_point(
+        src_est, src.mask, cand_pos, cand_mask,
+        iterations=mcfg.icp_iterations,
+        max_corr_dist=mcfg.icp_max_corr_dist_mm,
+    )
+    T_best = jnp.where(
+        mcfg.run_icp, se3.compose(icp.transform, T_est), T_j
+    )
+    n_mutual = jnp.sum(cmask.astype(jnp.int32))
+    return T_best, rr, n_mutual, gate, h_diff, t_diff, icp.rmse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile"), donate_argnames=("state",)
+)
+def odometry_step(
+    state: OdometryState,
+    points: jnp.ndarray,
+    pmask: jnp.ndarray,
+    key: jax.Array,
+    cfg: SlamConfig,
+    tile: int = 2048,
+) -> tuple[OdometryState, StepDiagnostics]:
+    """One full SLAM frame (reference main loop: odometry_test.cpp:185-193)."""
+    src = compute_features(points, pmask, cfg, tile)
+
+    T_best, rr, n_mutual, gate, h_diff, t_diff, icp_rmse = _match_and_estimate(
+        key, src, state, cfg
+    )
+
+    # INITIAL frame: identity pose, no gating (reference: self-match branch).
+    is_initial = state.frame_idx == 0
+    T_best = jnp.where(is_initial, jnp.eye(4, dtype=jnp.float32), T_best)
+    gate = jnp.where(is_initial, False, gate)
+
+    # updateMap (reference: lidar_odometry.cpp:344-376): transform source
+    # keypoints by the accepted pose and insert all of them.
+    world_kp = se3.apply(T_best, src.keypoints)
+    new_map = mapstore.insert_keypoints(
+        state.map, world_kp, src.descriptors, src.scores, src.mask, cfg.map
+    )
+
+    new_state = OdometryState(
+        map=new_map,
+        ref=src,
+        ref_pose=T_best,
+        frame_idx=state.frame_idx + 1,
+    )
+    diag = StepDiagnostics(
+        pose=T_best,
+        n_mutual=n_mutual,
+        n_inliers=rr.n_inliers,
+        gated=gate,
+        heading_diff_rad=h_diff,
+        translation_diff_mm=t_diff,
+        map_size=mapstore.map_size(new_map),
+        icp_rmse=icp_rmse,
+    )
+    return new_state, diag

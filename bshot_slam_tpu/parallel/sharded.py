@@ -1,0 +1,101 @@
+"""Multi-chip sharding of the SLAM step over a JAX device mesh.
+
+The reference is strictly single-process (SURVEY §2: no distributed backend
+of any kind; its only parallelism is OpenMP loops and a capture thread).
+The TPU rebuild scales along two axes of a `jax.sharding.Mesh`:
+
+  * ``data``  — shards the point cloud rows: seg-ratio scoring, normal
+    estimation and the neighborhood sweeps each evaluate a query-row shard
+    per device while reference tiles stream to all devices (the SPMD analog
+    of the reference's OpenMP parallel-for, bshot_bits.h:61-63).
+  * ``map``   — shards the global map capacity: Hamming matching evaluates
+    each map shard locally, and the mutual-NN argmin reduces across shards
+    (XLA inserts the min/argmin collectives); map insertion scatters into
+    the owning shard.
+
+Shardings are declared with `NamedSharding`/`PartitionSpec` on the step's
+inputs and outputs and GSPMD propagates them through the whole program —
+the "pick a mesh, annotate, let XLA insert collectives" recipe.  Collectives
+ride ICI inside a slice; nothing here assumes host count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bshot_slam_tpu.config import SlamConfig
+from bshot_slam_tpu.odometry import pipeline
+from bshot_slam_tpu.odometry.mapstore import MapState
+from bshot_slam_tpu.odometry.pipeline import FrameFeatures, OdometryState
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None,
+              axes: Tuple[str, str] = ("data", "map")) -> Mesh:
+    """2D mesh over the given devices; the device count is factored as
+    evenly as possible between the two axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    d_data = 1
+    for f in range(int(np.sqrt(n)), 0, -1):
+        if n % f == 0:
+            d_data = f
+            break
+    mesh_devs = np.asarray(devices).reshape(d_data, n // d_data)
+    return Mesh(mesh_devs, axes)
+
+
+def state_shardings(mesh: Mesh) -> OdometryState:
+    """PartitionSpec pytree for OdometryState: map rows on 'map', rest
+    replicated."""
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    map_spec = MapState(
+        positions=ns(P("map", None)),
+        descriptors=ns(P("map", None)),
+        seg_ratios=ns(P("map")),
+        blocks=ns(P("map", None)),
+        valid=ns(P("map")),
+        cursor=ns(P()),
+    )
+    ref_spec = FrameFeatures(
+        keypoints=ns(P()), scores=ns(P()), descriptors=ns(P()), mask=ns(P()),
+    )
+    return OdometryState(
+        map=map_spec, ref=ref_spec, ref_pose=ns(P()), frame_idx=ns(P()),
+    )
+
+
+def sharded_odometry_step(
+    mesh: Mesh, cfg: SlamConfig, tile: int = 2048
+) -> Tuple[Callable, Callable]:
+    """Returns (step, shard_state).
+
+    step(state, points, pmask, key) is the full odometry step jitted with
+    data/map shardings; shard_state places an OdometryState onto the mesh.
+    """
+    st_sh = state_shardings(mesh)
+    pts_sh = NamedSharding(mesh, P("data", None))
+    mask_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def _step(state, points, pmask, key):
+        return pipeline.odometry_step.__wrapped__(
+            state, points, pmask, key, cfg, tile
+        )
+
+    step = jax.jit(
+        _step,
+        in_shardings=(st_sh, pts_sh, mask_sh, repl),
+        out_shardings=(st_sh, None),
+        static_argnums=(),
+    )
+
+    def shard_state(state: OdometryState) -> OdometryState:
+        return jax.device_put(state, st_sh)
+
+    return step, shard_state

@@ -1,0 +1,119 @@
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from bshot_slam_tpu.config import MapConfig
+from bshot_slam_tpu.odometry import mapstore as ms
+
+
+CFG = MapConfig(capacity=256)
+
+
+def _insert(state, pos, seg=None, mask=None):
+    K = len(pos)
+    pos = np.asarray(pos, np.float32)
+    seg = np.ones(K, np.float32) if seg is None else np.asarray(seg, np.float32)
+    mask = np.ones(K, bool) if mask is None else np.asarray(mask, bool)
+    desc = np.zeros((K, 11), np.uint32)
+    return ms.insert_keypoints(state, jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(seg), jnp.asarray(mask), CFG)
+
+
+def sequential_oracle(inserts):
+    """Reference Map::addKeypoint semantics, sequential (mymap.cpp:4-26)."""
+    store = {}  # block -> list of [pos, seg]
+    for pos, seg in inserts:
+        pos = np.trunc(np.asarray(pos) / 10.0) * 10.0
+        blk = tuple(int(round(p / 10000.0)) for p in pos)
+        if blk not in store:
+            store[blk] = {tuple(pos): seg}
+        else:
+            ok = True
+            for p2, s2 in store[blk].items():
+                if np.linalg.norm(pos - np.array(p2)) < 800 and seg <= s2:
+                    ok = False
+            if ok:
+                store[blk][tuple(pos)] = seg
+    return store
+
+
+def test_snap_truncates_toward_zero():
+    p = jnp.asarray(np.array([[19.0, -19.0, 5.0]], np.float32))
+    got = np.asarray(ms.snap_positions(p, 10.0))
+    np.testing.assert_array_equal(got, [[10.0, -10.0, 0.0]])
+
+
+def test_insert_and_dedup_matches_oracle(rng):
+    state = ms.init_map(CFG)
+    batches = []
+    for b in range(3):
+        pts = rng.uniform(-15000, 15000, (40, 3))
+        seg = rng.uniform(0, 1, 40)
+        batches.append((pts, seg))
+        state = _insert(state, pts, seg)
+    inserts = [(p, s) for pts, segs in batches for p, s in zip(pts, segs)]
+    oracle = sequential_oracle(inserts)
+    n_oracle = sum(len(v) for v in oracle.values())
+    n_got = int(ms.map_size(state))
+    # batched dedup may differ from sequential on tie-chains; allow small slack
+    assert abs(n_got - n_oracle) <= max(2, 0.03 * n_oracle), (n_got, n_oracle)
+
+
+def test_dedup_rejects_lower_quality():
+    state = ms.init_map(CFG)
+    state = _insert(state, [[100.0, 100.0, 100.0]], seg=[0.9])
+    # same block, within 800mm, lower seg -> rejected
+    state = _insert(state, [[300.0, 100.0, 100.0]], seg=[0.5])
+    assert int(ms.map_size(state)) == 1
+    # same block, within 800mm, higher seg -> accepted
+    state = _insert(state, [[300.0, 100.0, 100.0]], seg=[0.95])
+    assert int(ms.map_size(state)) == 2
+    # far away in same block -> accepted
+    state = _insert(state, [[3000.0, 100.0, 100.0]], seg=[0.1])
+    assert int(ms.map_size(state)) == 3
+
+
+def test_dedup_is_block_scoped():
+    state = ms.init_map(CFG)
+    # Two points 600mm apart straddling a block boundary (5000mm): blocks
+    # differ, so no dedup even though distance < 800.
+    state = _insert(state, [[4700.0, 0.0, 0.0]], seg=[0.9])
+    state = _insert(state, [[5300.0, 0.0, 0.0]], seg=[0.1])
+    assert int(ms.map_size(state)) == 2
+
+
+def test_query_mask_block_granularity():
+    state = ms.init_map(CFG)
+    state = _insert(state, [[0.0, 0.0, 0.0], [20000.0, 0.0, 0.0], [70000.0, 0.0, 0.0]])
+    m = np.asarray(ms.query_mask(state, jnp.asarray([0.0, 0.0, 0.0]), 30000.0, CFG))
+    assert m[:3].tolist() == [True, True, False]
+    # block granularity: a point at 34000 is in block 3 (34000/10000 -> 3),
+    # and round((0+30000)/10000)=3 so it IS included despite being > range.
+    state2 = _insert(state, [[34000.0, 0.0, 0.0]])
+    m2 = np.asarray(ms.query_mask(state2, jnp.asarray([0.0, 0.0, 0.0]), 30000.0, CFG))
+    assert m2[3]
+
+
+def test_capacity_overflow_drops():
+    cfg = MapConfig(capacity=8)
+    state = ms.init_map(cfg)
+    pts = np.arange(12, dtype=np.float32)[:, None] * np.array([5000.0, 0, 0]) + 100000.0
+    desc = np.zeros((12, 11), np.uint32)
+    state = ms.insert_keypoints(
+        state, jnp.asarray(pts.astype(np.float32)), jnp.asarray(desc),
+        jnp.ones(12), jnp.ones(12, bool), cfg,
+    )
+    assert int(ms.map_size(state)) == 8
+    assert int(state.cursor) == 8
+    # further inserts are no-ops, not corruption
+    state = ms.insert_keypoints(
+        state, jnp.asarray(pts.astype(np.float32)), jnp.asarray(desc),
+        jnp.ones(12), jnp.ones(12, bool), cfg,
+    )
+    assert int(ms.map_size(state)) == 8
+
+
+def test_masked_rows_never_insert():
+    state = ms.init_map(CFG)
+    state = _insert(state, [[1000.0, 0, 0], [2000.0, 0, 0]], mask=[True, False])
+    assert int(ms.map_size(state)) == 1

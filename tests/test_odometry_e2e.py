@@ -1,0 +1,64 @@
+"""End-to-end odometry on a synthetic sequence (CPU, tiny shapes).
+
+The closest thing the reference has is its interactive trajectory overlay
+(odometry_test.cpp:257-263); here we assert ATE against ray-cast ground
+truth.
+"""
+
+import numpy as np
+import pytest
+
+from bshot_slam_tpu.config import (
+    DescriptorConfig, KeypointConfig, MapConfig, MatchConfig, PreprocessConfig,
+    SensorConfig, SlamConfig,
+)
+from bshot_slam_tpu.io import synthetic
+from bshot_slam_tpu.odometry.engine import SlamEngine
+from bshot_slam_tpu.utils.metrics import ate_rmse
+
+
+def small_cfg():
+    return SlamConfig(
+        sensor=SensorConfig(n_azimuth=512),
+        preprocess=PreprocessConfig(max_points=8192),
+        keypoints=KeypointConfig(top_k=192),
+        descriptor=DescriptorConfig(max_neighbors=96),
+        match=MatchConfig(ransac_iterations=512),
+        map=MapConfig(capacity=8192),
+    )
+
+
+@pytest.mark.slow
+def test_short_sequence_ate():
+    cfg = small_cfg()
+    n_frames = 6
+    sweeps, gt = synthetic.render_sequence(
+        n_frames, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    eng = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        rec = eng.process_sweep(sw)
+    traj = eng.trajectory
+    # SLAM's world frame is the first sensor pose: express GT relative to it.
+    gt_rel = np.linalg.inv(gt[0])[None] @ gt
+    gt_pos = gt_rel[:, :3, 3]
+    err = ate_rmse(traj, gt_pos, align=False)
+    total_len = np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum()
+    assert err < 0.25 * total_len, (err, total_len)
+    # Matching must actually engage: inliers above the gate on later frames.
+    assert all(r.n_inliers >= 15 for r in eng.records[1:]), [
+        r.n_inliers for r in eng.records
+    ]
+    assert eng.records[-1].map_size > cfg.keypoints.top_k  # map grew beyond frame 0
+
+
+def test_first_frame_is_identity():
+    cfg = small_cfg()
+    sweeps, _ = synthetic.render_sequence(
+        1, cfg.sensor, seed=3, n_firings=cfg.sensor.n_azimuth
+    )
+    eng = SlamEngine(cfg, tile=1024)
+    rec = eng.process_sweep(sweeps[0])
+    np.testing.assert_allclose(rec.pose, np.eye(4), atol=1e-6)
+    assert rec.map_size > 0
