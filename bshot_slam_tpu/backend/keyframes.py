@@ -1,0 +1,88 @@
+"""Keyframe store + selection policy (new capability, SURVEY §7 phase 5).
+
+Fixed-capacity device arrays of keyframe poses and their full feature sets
+(keypoints + packed B-SHOT descriptors), appended by scatter like the
+global map.  Selection mirrors common LiDAR SLAM practice: a frame becomes
+a keyframe when it has moved or turned enough since the last keyframe, or
+every `keyframe_every` frames, whichever fires first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bshot_slam_tpu.config import BackendConfig, SlamConfig
+from bshot_slam_tpu.geometry import se3
+from bshot_slam_tpu.odometry.pipeline import FrameFeatures
+
+
+class KeyframeStore(NamedTuple):
+    poses: jnp.ndarray  # (Mk, 4, 4)
+    keypoints: jnp.ndarray  # (Mk, K, 3) sensor frame
+    descriptors: jnp.ndarray  # (Mk, K, 11)
+    kp_mask: jnp.ndarray  # (Mk, K)
+    frame_idx: jnp.ndarray  # (Mk,) source frame number
+    # Landmark observations from odometry matching (for BA):
+    obs_lm: jnp.ndarray  # (Mk, K) int32 map-landmark index, -1 if none
+    count: jnp.ndarray  # () int32
+
+
+def init_keyframes(cfg: SlamConfig) -> KeyframeStore:
+    Mk = cfg.backend.max_keyframes
+    K = cfg.keypoints.top_k
+    return KeyframeStore(
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (Mk, 1, 1)),
+        keypoints=jnp.zeros((Mk, K, 3), jnp.float32),
+        descriptors=jnp.zeros((Mk, K, 11), jnp.uint32),
+        kp_mask=jnp.zeros((Mk, K), bool),
+        frame_idx=jnp.full((Mk,), -1, jnp.int32),
+        obs_lm=jnp.full((Mk, K), -1, jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def add_keyframe(
+    store: KeyframeStore,
+    pose: jnp.ndarray,
+    feats: FrameFeatures,
+    frame_idx: jnp.ndarray,
+    obs_lm: jnp.ndarray,
+) -> KeyframeStore:
+    """Append one keyframe (drops silently when full)."""
+    Mk = store.poses.shape[0]
+    slot = jnp.where(store.count < Mk, store.count, Mk)  # Mk -> dropped
+    return KeyframeStore(
+        poses=store.poses.at[slot].set(pose, mode="drop"),
+        keypoints=store.keypoints.at[slot].set(feats.keypoints, mode="drop"),
+        descriptors=store.descriptors.at[slot].set(feats.descriptors, mode="drop"),
+        kp_mask=store.kp_mask.at[slot].set(feats.mask, mode="drop"),
+        frame_idx=store.frame_idx.at[slot].set(
+            frame_idx.astype(jnp.int32), mode="drop"
+        ),
+        obs_lm=store.obs_lm.at[slot].set(obs_lm.astype(jnp.int32), mode="drop"),
+        count=jnp.minimum(store.count + 1, Mk),
+    )
+
+
+def should_add_keyframe(
+    last_kf_pose: np.ndarray,
+    pose: np.ndarray,
+    frames_since: int,
+    cfg: BackendConfig,
+) -> bool:
+    """Host-side keyframe decision."""
+    if frames_since >= cfg.keyframe_every:
+        return True
+    delta = np.linalg.inv(last_kf_pose) @ pose
+    t = np.linalg.norm(delta[:3, 3])
+    c = np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1)
+    heading = np.degrees(np.arccos(c))
+    return bool(
+        t > cfg.keyframe_min_translation_mm or heading > cfg.keyframe_min_heading_deg
+    )

@@ -1,0 +1,70 @@
+"""Checkpoint / resume of full SLAM state.
+
+The reference has no state persistence at all — only trajectory xyz text
+and a PCAP start-frame fast-forward (SURVEY §5 checkpoint note; reference:
+odometry_test.cpp:348-361, VelodyneCapture.h:491-497).  Here the complete
+odometry state (map arrays, previous-frame features, pose, frame index)
+plus the recorded trajectory round-trips through one compressed npz so long
+sequences and multi-host runs can stop and resume exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from bshot_slam_tpu.odometry.mapstore import MapState
+from bshot_slam_tpu.odometry.pipeline import FrameFeatures, OdometryState
+
+_FORMAT_VERSION = 1
+
+
+def save_state(path: str, state: OdometryState, poses: np.ndarray) -> None:
+    """Write state + (n, 4, 4) pose history to `path`/slam_state.npz."""
+    os.makedirs(path, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(path, "slam_state.npz"),
+        version=_FORMAT_VERSION,
+        map_positions=np.asarray(state.map.positions),
+        map_descriptors=np.asarray(state.map.descriptors),
+        map_seg_ratios=np.asarray(state.map.seg_ratios),
+        map_blocks=np.asarray(state.map.blocks),
+        map_valid=np.asarray(state.map.valid),
+        map_cursor=np.asarray(state.map.cursor),
+        ref_keypoints=np.asarray(state.ref.keypoints),
+        ref_scores=np.asarray(state.ref.scores),
+        ref_descriptors=np.asarray(state.ref.descriptors),
+        ref_mask=np.asarray(state.ref.mask),
+        ref_pose=np.asarray(state.ref_pose),
+        frame_idx=np.asarray(state.frame_idx),
+        poses=np.asarray(poses),
+    )
+
+
+def load_state(path: str) -> Tuple[OdometryState, np.ndarray]:
+    """Read back (OdometryState, poses). Raises on version mismatch."""
+    with np.load(os.path.join(path, "slam_state.npz")) as z:
+        if int(z["version"]) != _FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version {z['version']}")
+        state = OdometryState(
+            map=MapState(
+                positions=jnp.asarray(z["map_positions"]),
+                descriptors=jnp.asarray(z["map_descriptors"]),
+                seg_ratios=jnp.asarray(z["map_seg_ratios"]),
+                blocks=jnp.asarray(z["map_blocks"]),
+                valid=jnp.asarray(z["map_valid"]),
+                cursor=jnp.asarray(z["map_cursor"]),
+            ),
+            ref=FrameFeatures(
+                keypoints=jnp.asarray(z["ref_keypoints"]),
+                scores=jnp.asarray(z["ref_scores"]),
+                descriptors=jnp.asarray(z["ref_descriptors"]),
+                mask=jnp.asarray(z["ref_mask"]),
+            ),
+            ref_pose=jnp.asarray(z["ref_pose"]),
+            frame_idx=jnp.asarray(z["frame_idx"]),
+        )
+        return state, z["poses"]

@@ -76,22 +76,33 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues formula, (..., 3) -> (..., 3, 3); Taylor-safe near zero."""
+    """Rodrigues formula, (..., 3) -> (..., 3, 3); Taylor-safe near zero.
+
+    Untaken `where` branches must stay finite (no /theta2 at 0) or their
+    NaN leaks into autodiff — the backend differentiates through here.
+    """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
+    safe2 = jnp.maximum(theta2, _EPS)
+    theta = jnp.sqrt(safe2)
     W = hat(w)
     W2 = jnp.matmul(W, W)
     small = theta2 < 1e-8
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + a[..., None, None] * W + b[..., None, None] * W2
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3) rotation vector; stable away from theta=pi."""
+    """(..., 3, 3) -> (..., 3) rotation vector; stable away from theta=pi.
+
+    cos(theta) is clamped strictly inside (-1, 1): arccos has infinite
+    derivative at +-1, which would leak NaN into `jax.jacrev` of any
+    residual that is exactly zero (identity relative pose) — the pose-graph
+    optimizer differentiates through here.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_theta)
     vee = jnp.stack(
         [
@@ -116,13 +127,14 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     w = xi[..., 3:]
     R = so3_exp(w)
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
+    safe2 = jnp.maximum(theta2, _EPS)
+    theta = jnp.sqrt(safe2)
     W = hat(w)
     W2 = jnp.matmul(W, W)
     small = theta2 < 1e-8
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
     c = jnp.where(
-        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (theta2 * theta)
+        small, 1.0 / 6.0 - theta2 / 120.0, (theta - jnp.sin(theta)) / (safe2 * theta)
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
     V = eye + b[..., None, None] * W + c[..., None, None] * W2
@@ -134,7 +146,8 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) -> (..., 6) twist [rho, w]."""
     w = so3_log(rotation(T))
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
+    safe2 = jnp.maximum(theta2, _EPS)
+    theta = jnp.sqrt(safe2)
     W = hat(w)
     W2 = jnp.matmul(W, W)
     small = theta2 < 1e-8
@@ -142,7 +155,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 / jnp.where(small, 1.0, theta2))
+        1.0 / safe2
         - (1.0 + jnp.cos(theta)) / (2.0 * theta * jnp.sin(theta) + _EPS),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)

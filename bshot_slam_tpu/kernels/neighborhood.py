@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: fused radius-neighborhood accumulation.
+
+The hottest loops in the pipeline (SURVEY §3.3 HOT LOOP #1-2) reduce, for
+every point i, features of every in-radius point j:
+
+    out[i, :] = sum_j [ |p_i - p_j| <= r ]  *  feat(p_j)
+
+Under plain XLA this streams (N, tile)-sized weight matrices through HBM
+on every scan step; this kernel keeps the whole (Tq, Tr) tile pipeline in
+VMEM — the pairwise d2 expansion, the radius mask, and the (Tq, Tr) x
+(Tr, F) feature matmul all fuse, so HBM sees only the inputs once per grid
+stripe and the (N, F) accumulator.
+
+The feature matrix is caller-supplied, which covers all users:
+  * moments (count, sum, outer products)  -> normals / ISS / seg-ratio ct
+  * seg-ratio dot-sign counts (CV) and dot sums (CVS/CVSN), via per-query
+    rotation of the features (handled by the second kernel below).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile sizes: Tq sublanes x Tr lanes of the pair matrix; feature width F
+# is padded to a lane multiple by callers.
+TQ = 256
+TR = 512
+
+
+def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
+def _accum_kernel(q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref, *, r2):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = q_ref[:]  # (TQ, 3f32)... padded to (TQ, 128) by caller layout
+    r = r_ref[:]
+    qq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
+    pp = jnp.sum(r * r, axis=1, keepdims=True)  # (TR, 1)
+    cross = jax.lax.dot_general(
+        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TQ, TR)
+    d2 = qq + pp.T - 2.0 * cross
+    within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+    w = within.astype(jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        w, feat_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "feat_width"))
+def neighborhood_accumulate(
+    points: jnp.ndarray,  # (N, 3) float32
+    mask: jnp.ndarray,  # (N,) bool
+    feat: jnp.ndarray,  # (N, F) float32 per-point features to sum
+    radius: float,
+    feat_width: int = 0,
+) -> jnp.ndarray:
+    """out[i] = sum over in-radius j of feat[j]; masked rows give zeros."""
+    N = points.shape[0]
+    F = feat.shape[1]
+    q = _pad_rows(points, TQ)
+    r = _pad_rows(points, TR)
+    qm = _pad_rows(mask.astype(jnp.float32)[:, None], TQ)
+    rm = _pad_rows(mask.astype(jnp.float32)[:, None], TR)
+    fp = _pad_rows(feat, TR)
+    Nq = q.shape[0]
+    Nr = r.shape[0]
+
+    grid = (Nq // TQ, Nr // TR)
+    out = pl.pallas_call(
+        functools.partial(_accum_kernel, r2=radius * radius),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, F), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TQ, F), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nq, F), jnp.float32),
+    )(q, qm, r, rm, fp)
+    return jnp.where(mask[:, None], out[:N], 0.0)
+
+
+def _segratio_kernel(q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref, *, r2):
+    """Per-query-side vector kernel: counts of sign(dot(ctvec_q, p_r - q))
+    and the CVS dot sums, fused with the radius test."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    q = q_ref[:]  # (TQ, 3)
+    v = qv_ref[:]  # (TQ, 3) ctvec
+    r = r_ref[:]  # (TR, 3)
+    qq = jnp.sum(q * q, axis=1, keepdims=True)
+    pp = jnp.sum(r * r, axis=1, keepdims=True)
+    cross = jax.lax.dot_general(
+        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    d2 = qq + pp.T - 2.0 * cross
+    within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+    # dot(v_q, p_r - q) = v.p_r - v.q
+    vr = jax.lax.dot_general(
+        v, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    vq = jnp.sum(v * q, axis=1, keepdims=True)
+    dots = vr - vq
+    w = within.astype(jnp.float32)
+    pos = jnp.sum(w * (dots > 0), axis=1)
+    neg = jnp.sum(w * (dots < 0), axis=1)
+    ssum = jnp.sum(jnp.where(within & (d2 > 0), dots, 0.0), axis=1)
+    out_ref[:, 0] += pos
+    out_ref[:, 1] += neg
+    out_ref[:, 2] += ssum
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def segratio_accumulate(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    ctvec: jnp.ndarray,  # (N, 3) sp - centroid
+    radius: float,
+) -> jnp.ndarray:
+    """Returns (N, 3): [pos count, neg count, CVS dot sum] per point."""
+    N = points.shape[0]
+    q = _pad_rows(points, TQ)
+    r = _pad_rows(points, TR)
+    qm = _pad_rows(mask.astype(jnp.float32)[:, None], TQ)
+    rm = _pad_rows(mask.astype(jnp.float32)[:, None], TR)
+    qv = _pad_rows(ctvec, TQ)
+    grid = (q.shape[0] // TQ, r.shape[0] // TR)
+    out = pl.pallas_call(
+        functools.partial(_segratio_kernel, r2=radius * radius),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TQ, 128), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), jnp.float32),
+    )(q, qm, qv, r, rm)
+    return jnp.where(mask[:, None], out[:N, :3], 0.0)

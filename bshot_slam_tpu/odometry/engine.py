@@ -36,14 +36,23 @@ class FrameRecord:
 
 
 class SlamEngine:
-    """Streaming scan-to-map odometry over a sweep source."""
+    """Streaming scan-to-map odometry over a sweep source, with an optional
+    keyframe/loop-closure/pose-graph backend (no reference counterpart)."""
 
-    def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048):
+    def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
+                 enable_backend: bool = False):
+        from bshot_slam_tpu.backend import keyframes as kf_mod
+
         self.cfg = cfg
         self.tile = tile
         self.state = pipeline.init_state(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.records: List[FrameRecord] = []
+        self.enable_backend = enable_backend
+        self.keyframes = kf_mod.init_keyframes(cfg)
+        self._last_kf_pose = np.eye(4, dtype=np.float32)
+        self._frames_since_kf = 10**9  # force a keyframe on frame 0
+        self.optimized_keyframe_poses: np.ndarray | None = None
 
     def process_sweep(self, sweep: LaserSweep,
                       selected: Optional[np.ndarray] = None) -> FrameRecord:
@@ -85,8 +94,86 @@ class SlamEngine:
             map_size=int(diag.map_size),
             icp_rmse=float(diag.icp_rmse),
         )
+        if self.enable_backend:
+            self._maybe_keyframe(diag, rec)
         self.records.append(rec)
         return rec
+
+    def _maybe_keyframe(self, diag, rec: FrameRecord) -> None:
+        from bshot_slam_tpu.backend import keyframes as kf_mod
+
+        if not kf_mod.should_add_keyframe(
+            self._last_kf_pose, rec.pose, self._frames_since_kf, self.cfg.backend
+        ):
+            self._frames_since_kf += 1
+            return
+        # Landmark observations: inlier matches whose candidate index falls
+        # inside the map capacity (the rest matched the previous frame).
+        cap = self.cfg.map.capacity
+        obs_lm = jnp.where(
+            diag.corr_inlier & (diag.corr_index < cap), diag.corr_index, -1
+        )
+        self.keyframes = kf_mod.add_keyframe(
+            self.keyframes, jnp.asarray(rec.pose), diag.features,
+            jnp.asarray(len(self.records)), obs_lm,
+        )
+        self._last_kf_pose = rec.pose
+        self._frames_since_kf = 1
+
+    def optimize_backend(self, max_candidates: int = 8):
+        """Loop-closure detection + pose-graph optimization over keyframes.
+
+        Returns (optimized keyframe poses (n,4,4), loop edges).  Also keeps
+        them on self.optimized_keyframe_poses.
+        """
+        from bshot_slam_tpu.backend import loop_closure, posegraph
+
+        n = int(self.keyframes.count)
+        if n < 2:
+            return self.poses, []
+        self.key, sub = jax.random.split(self.key)
+        edges = loop_closure.find_loop_closures(self.keyframes, self.cfg, sub,
+                                                max_candidates)
+        kf_poses = jnp.asarray(np.asarray(self.keyframes.poses[:n]))
+        g = posegraph.odometry_edges(kf_poses)
+        if edges:
+            g = posegraph.add_edges(
+                g,
+                jnp.asarray([e.kf_i for e in edges]),
+                jnp.asarray([e.kf_j for e in edges]),
+                jnp.asarray(np.stack([e.z for e in edges])),
+                jnp.asarray([float(e.n_inliers) for e in edges]),
+            )
+        res = posegraph.optimize_pose_graph(
+            g, iterations=self.cfg.backend.gn_iterations
+        )
+        self.optimized_keyframe_poses = np.asarray(res.poses)
+        return self.optimized_keyframe_poses, edges
+
+    def build_ba_problem(self):
+        """Assemble a bundle-adjustment problem from keyframe landmark
+        observations (map landmarks seen as RANSAC inliers at keyframes)."""
+        from bshot_slam_tpu.backend.ba import BAProblem
+
+        n = int(self.keyframes.count)
+        kf_poses = np.asarray(self.keyframes.poses[:n])
+        obs_lm = np.asarray(self.keyframes.obs_lm[:n])  # (n, K)
+        kp = np.asarray(self.keyframes.keypoints[:n])  # (n, K, 3)
+        kf_idx, kp_idx = np.nonzero(obs_lm >= 0)
+        lm_raw = obs_lm[kf_idx, kp_idx]
+        uniq, compact = np.unique(lm_raw, return_inverse=True)
+        L = min(len(uniq), self.cfg.backend.ba_max_landmarks)
+        keep = compact < L
+        kf_idx, kp_idx, compact = kf_idx[keep], kp_idx[keep], compact[keep]
+        landmarks = np.asarray(self.state.map.positions)[uniq[:L]]
+        return BAProblem(
+            poses=jnp.asarray(kf_poses),
+            landmarks=jnp.asarray(landmarks.astype(np.float32)),
+            obs_kf=jnp.asarray(kf_idx.astype(np.int32)),
+            obs_lm=jnp.asarray(compact.astype(np.int32)),
+            obs_p=jnp.asarray(kp[kf_idx, kp_idx].astype(np.float32)),
+            obs_mask=jnp.ones(len(kf_idx), bool),
+        )
 
     @property
     def trajectory(self) -> np.ndarray:

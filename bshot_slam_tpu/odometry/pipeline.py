@@ -66,6 +66,12 @@ class StepDiagnostics(NamedTuple):
     translation_diff_mm: jnp.ndarray
     map_size: jnp.ndarray
     icp_rmse: jnp.ndarray
+    # Correspondence details for the BA backend: per source keypoint, the
+    # matched index into [map capacity | prev-frame keypoints] and whether it
+    # was a RANSAC inlier (indices < map capacity are landmark observations).
+    corr_index: jnp.ndarray  # (K,) int32
+    corr_inlier: jnp.ndarray  # (K,) bool
+    features: "FrameFeatures"  # this frame's features (for keyframing)
 
 
 def init_state(cfg: SlamConfig) -> OdometryState:
@@ -162,7 +168,7 @@ def _match_and_estimate(
         mcfg.run_icp, se3.compose(icp.transform, T_est), T_j
     )
     n_mutual = jnp.sum(cmask.astype(jnp.int32))
-    return T_best, rr, n_mutual, gate, h_diff, t_diff, icp.rmse
+    return T_best, rr, matches, n_mutual, gate, h_diff, t_diff, icp.rmse
 
 
 @functools.partial(
@@ -179,9 +185,8 @@ def odometry_step(
     """One full SLAM frame (reference main loop: odometry_test.cpp:185-193)."""
     src = compute_features(points, pmask, cfg, tile)
 
-    T_best, rr, n_mutual, gate, h_diff, t_diff, icp_rmse = _match_and_estimate(
-        key, src, state, cfg
-    )
+    (T_best, rr, matches, n_mutual, gate, h_diff, t_diff,
+     icp_rmse) = _match_and_estimate(key, src, state, cfg)
 
     # INITIAL frame: identity pose, no gating (reference: self-match branch).
     is_initial = state.frame_idx == 0
@@ -210,5 +215,8 @@ def odometry_step(
         translation_diff_mm=t_diff,
         map_size=mapstore.map_size(new_map),
         icp_rmse=icp_rmse,
+        corr_index=matches.src_to_ref.astype(jnp.int32),
+        corr_inlier=rr.inliers & ~is_initial,
+        features=src,
     )
     return new_state, diag

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from bshot_slam_tpu.config import KeypointConfig
+from bshot_slam_tpu.geometry.eig3 import eigvalsh3
 
 _NEG_INF = -jnp.inf
 
@@ -213,7 +214,7 @@ def iss_keypoints(
     safe = jnp.maximum(cnt, 1.0)
     mean = psum / safe[:, None]
     cov = outer / safe[:, None, None] - mean[:, :, None] * mean[:, None, :]
-    evals = jnp.linalg.eigvalsh(cov)  # ascending: l3, l2, l1
+    evals = eigvalsh3(cov)  # ascending: l3, l2, l1 (closed form)
     l3, l2, l1 = evals[:, 0], evals[:, 1], evals[:, 2]
     good = (
         mask

@@ -21,6 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from bshot_slam_tpu.geometry.eig3 import eigh3
 from bshot_slam_tpu.ops.keypoints import neighborhood_moments
 
 
@@ -43,7 +44,7 @@ def surface_normals(
     safe = jnp.maximum(cnt, 1.0)
     mean = psum / safe[:, None]
     cov = outer / safe[:, None, None] - mean[:, :, None] * mean[:, None, :]
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    evals, evecs = eigh3(cov)  # ascending eigenvalues (closed form)
     n = evecs[..., 0]  # smallest-eigenvalue direction
     # Flip toward viewpoint at origin: need n . (0 - p) > 0.
     flip = jnp.sum(n * points, axis=-1) > 0

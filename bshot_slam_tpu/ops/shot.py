@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from bshot_slam_tpu.config import DescriptorConfig
+from bshot_slam_tpu.geometry.eig3 import eigh3
 from bshot_slam_tpu.ops.keypoints import _pair_d2
 
 _EPS = 1e-12
@@ -88,7 +89,7 @@ def local_reference_frames(
     valid = wsum > _EPS
     wn = w / jnp.maximum(wsum, _EPS)[:, None]
     cov = jnp.einsum("km,kmi,kmj->kij", wn, g.rel, g.rel)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eigh3(cov)  # ascending (closed form)
     x_axis = evecs[..., 2]
     z_axis = evecs[..., 0]
 

@@ -1,0 +1,180 @@
+// Native fast path: PCAP parse + Velodyne packet decode in one pass.
+//
+// TPU-native rebuild of the reference's ingest layer (reference:
+// include/VelodyneCapture.h:413-526 — libpcap loop + per-laser decode on a
+// background thread).  This decoder is branch-light and allocation-free in
+// the hot loop: one sweep over the capture buffer emits flat SoA arrays
+// (azimuth centidegrees, ring, distance ticks, intensity) plus sweep-start
+// offsets at azimuth wrap-arounds — exactly the contract of the Python
+// decoder in bshot_slam_tpu/io/velodyne.py, which doubles as its oracle.
+//
+// Packet layout (reference: VelodyneCapture.h:89-110): 12 firings x
+// (u16 block id, u16 rotational position, 32 x (u16 distance, u8
+// intensity)) + u32 gps timestamp + u8 mode + u8 sensor type = 1206 bytes,
+// preceded in the pcap record by a 42-byte Ethernet+IPv4+UDP header.
+//
+// Build: make -C native   (produces libvelodyne_decoder.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kLasersPerFiring = 32;
+constexpr int kFiringsPerPkt = 12;
+constexpr int kPacketSize = 1206;
+constexpr int kLinkHeader = 42;
+
+#pragma pack(push, 1)
+struct LaserReturn {
+  uint16_t distance;
+  uint8_t intensity;
+};
+struct FiringData {
+  uint16_t block_id;
+  uint16_t rotational_position;
+  LaserReturn returns[kLasersPerFiring];
+};
+struct DataPacket {
+  FiringData firings[kFiringsPerPkt];
+  uint32_t gps_timestamp;
+  uint8_t mode;
+  uint8_t sensor_type;
+};
+struct PcapRecordHeader {
+  uint32_t ts_sec;
+  uint32_t ts_frac;
+  uint32_t incl_len;
+  uint32_t orig_len;
+};
+#pragma pack(pop)
+
+static_assert(sizeof(DataPacket) == kPacketSize, "packet layout");
+
+}  // namespace
+
+extern "C" {
+
+struct DecodedCapture {
+  // Flat per-laser arrays, firing order.
+  float* azimuth_deg;
+  int32_t* ring;
+  uint16_t* distance;
+  uint8_t* intensity;
+  int64_t n_lasers;
+  // Sweep segmentation: offsets into the arrays where a rotation starts.
+  int64_t* sweep_starts;
+  int64_t n_sweeps;  // number of COMPLETE sweeps (tail dropped)
+};
+
+// Decode a classic-pcap Velodyne capture. n_rings is 16 (VLP-16) or 32
+// (HDL-32E).  Returns nullptr on unreadable/invalid input.
+DecodedCapture* vd_decode_pcap(const char* path, int n_rings) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 24) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::vector<uint8_t> buf(static_cast<size_t>(size));
+  if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  uint32_t magic;
+  std::memcpy(&magic, buf.data(), 4);
+  if (magic != 0xA1B2C3D4u && magic != 0xA1B23C4Du) return nullptr;  // LE only
+
+  // First pass: count matching packets.
+  size_t off = 24;
+  int64_t n_pkts = 0;
+  while (off + sizeof(PcapRecordHeader) <= buf.size()) {
+    PcapRecordHeader rec;
+    std::memcpy(&rec, buf.data() + off, sizeof(rec));
+    off += sizeof(rec);
+    if (off + rec.incl_len > buf.size()) break;
+    if (static_cast<int>(rec.incl_len) - kLinkHeader == kPacketSize) n_pkts++;
+    off += rec.incl_len;
+  }
+
+  const int64_t n_lasers =
+      n_pkts * kFiringsPerPkt * kLasersPerFiring;
+  auto* out = static_cast<DecodedCapture*>(std::calloc(1, sizeof(DecodedCapture)));
+  out->azimuth_deg = static_cast<float*>(std::malloc(n_lasers * sizeof(float)));
+  out->ring = static_cast<int32_t*>(std::malloc(n_lasers * sizeof(int32_t)));
+  out->distance = static_cast<uint16_t*>(std::malloc(n_lasers * sizeof(uint16_t)));
+  out->intensity = static_cast<uint8_t*>(std::malloc(n_lasers));
+  // worst case: a sweep per firing
+  out->sweep_starts = static_cast<int64_t*>(
+      std::malloc((n_pkts * kFiringsPerPkt + 2) * sizeof(int64_t)));
+
+  int64_t n = 0;
+  int64_t n_sweeps = 0;
+  double last_azimuth = -1.0;
+  out->sweep_starts[0] = 0;
+
+  off = 24;
+  while (off + sizeof(PcapRecordHeader) <= buf.size()) {
+    PcapRecordHeader rec;
+    std::memcpy(&rec, buf.data() + off, sizeof(rec));
+    off += sizeof(rec);
+    if (off + rec.incl_len > buf.size()) break;
+    if (static_cast<int>(rec.incl_len) - kLinkHeader != kPacketSize) {
+      off += rec.incl_len;
+      continue;
+    }
+    DataPacket pkt;
+    std::memcpy(&pkt, buf.data() + off + kLinkHeader, kPacketSize);
+    off += rec.incl_len;
+
+    // VLP-16 half-step interpolation between firings 0 and 1
+    // (reference: VelodyneCapture.h:462-469).
+    double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
+                 static_cast<double>(pkt.firings[0].rotational_position);
+    if (d01 < 0) d01 += 36000.0;
+    d01 *= 0.5;
+
+    for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
+      const FiringData& fd = pkt.firings[fi];
+      for (int li = 0; li < kLasersPerFiring; ++li) {
+        double az = static_cast<double>(fd.rotational_position);
+        if (li >= n_rings) az += d01;  // second VLP-16 firing sequence
+        if (az >= 36000.0) az -= 36000.0;
+        // Rotation boundary (reference: VelodyneCapture.h:500-506).
+        if (last_azimuth > az) {
+          out->sweep_starts[++n_sweeps] = n;
+        }
+        const int ring = li % n_rings;
+        out->azimuth_deg[n] = static_cast<float>(az / 100.0);
+        out->ring[n] = ring;
+        out->distance[n] = fd.returns[ring].distance;
+        out->intensity[n] = fd.returns[ring].intensity;
+        last_azimuth = az;
+        ++n;
+      }
+    }
+  }
+  out->n_lasers = n;
+  out->n_sweeps = n_sweeps;  // complete sweeps = boundaries found
+  return out;
+}
+
+void vd_free(DecodedCapture* c) {
+  if (!c) return;
+  std::free(c->azimuth_deg);
+  std::free(c->ring);
+  std::free(c->distance);
+  std::free(c->intensity);
+  std::free(c->sweep_starts);
+  std::free(c);
+}
+
+}  // extern "C"

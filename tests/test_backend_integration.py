@@ -1,0 +1,74 @@
+"""Keyframes, loop closure and BA wiring over a real engine run."""
+
+import jax
+import numpy as np
+import pytest
+
+from bshot_slam_tpu.backend import loop_closure
+from bshot_slam_tpu.backend.ba import ba_solve
+from bshot_slam_tpu.io import synthetic
+from bshot_slam_tpu.odometry.engine import SlamEngine
+
+from tests.test_odometry_e2e import small_cfg
+
+
+@pytest.fixture(scope="module")
+def engine_run():
+    cfg = small_cfg()
+    sweeps, gt = synthetic.render_sequence(
+        6, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    eng = SlamEngine(cfg, seed=0, tile=1024, enable_backend=True)
+    for sw in sweeps:
+        eng.process_sweep(sw)
+    return eng, gt
+
+
+def test_keyframes_collected(engine_run):
+    eng, _ = engine_run
+    n = int(eng.keyframes.count)
+    assert n >= 2
+    assert int(eng.keyframes.frame_idx[0]) == 0
+    # keyframes carry landmark observations
+    obs = np.asarray(eng.keyframes.obs_lm[:n])
+    assert (obs >= 0).sum() > 10
+
+
+def test_loop_closure_verification(engine_run):
+    eng, _ = engine_run
+    # force candidates by dropping the gap constraint
+    import dataclasses
+    cfg = dataclasses.replace(
+        eng.cfg, backend=dataclasses.replace(eng.cfg.backend, lc_min_gap=1,
+                                             lc_max_dist_mm=5000.0)
+    )
+    edges = loop_closure.find_loop_closures(
+        eng.keyframes, cfg, jax.random.PRNGKey(7), max_candidates=4
+    )
+    assert len(edges) >= 1
+    # verified relative pose must be consistent with odometry keyframe poses
+    n = int(eng.keyframes.count)
+    poses = np.asarray(eng.keyframes.poses[:n])
+    e = edges[0]
+    z_odo = np.linalg.inv(poses[e.kf_i]) @ poses[e.kf_j]
+    err = np.linalg.inv(e.z) @ z_odo
+    assert np.linalg.norm(err[:3, 3]) < 500.0
+    assert e.n_inliers >= eng.cfg.backend.lc_min_inliers
+
+
+def test_posegraph_over_keyframes(engine_run):
+    eng, _ = engine_run
+    poses, edges = eng.optimize_backend(max_candidates=4)
+    assert poses.shape[1:] == (4, 4)
+    assert np.isfinite(poses).all()
+
+
+def test_ba_over_engine_observations(engine_run):
+    eng, _ = engine_run
+    prob = eng.build_ba_problem()
+    assert prob.obs_kf.shape[0] > 10
+    res = ba_solve(prob, gn_iterations=3, cg_iterations=10)
+    assert float(res.final_cost) <= float(res.initial_cost) * 1.001
+    assert np.isfinite(np.asarray(res.poses)).all()
+    assert np.isfinite(np.asarray(res.landmarks)).all()

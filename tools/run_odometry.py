@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Odometry driver CLI — equivalent of the reference's `odometry_test`
+(reference: test/odometry_test.cpp:49 usage
+`./odometry_test pcap [SelectedPoints] [Load_Traj] [Save_Traj]`), headless.
+
+Examples:
+  run_odometry.py capture.pcap --skip 686 --out traj.txt
+  run_odometry.py --synthetic 20 --out traj.txt --gold gold.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("pcap", nargs="?", help="Velodyne PCAP capture")
+    ap.add_argument("--synthetic", type=int, default=0, metavar="N",
+                    help="run on N synthetic frames instead of a PCAP")
+    ap.add_argument("--sensor", choices=["hdl32e", "vlp16"], default="hdl32e")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="skip initial sweeps (reference Start_Frame)")
+    ap.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
+    ap.add_argument("--sr-type", choices=["CV", "CVS", "CVSN"], default="CV")
+    ap.add_argument("--no-icp", action="store_true")
+    ap.add_argument("--n-azimuth", type=int, default=0,
+                    help="override azimuth bins (synthetic; smaller = faster)")
+    ap.add_argument("--out", help="save trajectory xyz text")
+    ap.add_argument("--gold", help="compare against a saved trajectory (ATE)")
+    ap.add_argument("--checkpoint", help="save final SLAM state to this dir")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import numpy as np
+
+    from bshot_slam_tpu.config import VLP16_SENSOR, default_config
+    from bshot_slam_tpu.io import pcap as pcap_io
+    from bshot_slam_tpu.io import synthetic, velodyne
+    from bshot_slam_tpu.odometry.engine import SlamEngine
+    from bshot_slam_tpu.utils import trajectory as traj_io
+    from bshot_slam_tpu.utils.metrics import ate_rmse
+
+    cfg = default_config()
+    if args.sensor == "vlp16":
+        cfg = dataclasses.replace(cfg, sensor=VLP16_SENSOR)
+    if args.n_azimuth:
+        cfg = dataclasses.replace(
+            cfg, sensor=dataclasses.replace(cfg.sensor, n_azimuth=args.n_azimuth)
+        )
+    cfg = dataclasses.replace(
+        cfg,
+        keypoints=dataclasses.replace(cfg.keypoints, sr_type=args.sr_type),
+        match=dataclasses.replace(cfg.match, run_icp=not args.no_icp),
+    )
+
+    if args.synthetic:
+        sweeps, _ = synthetic.render_sequence(
+            args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=20.0, seed=0,
+            n_firings=cfg.sensor.n_azimuth,
+        )
+    else:
+        if not args.pcap:
+            ap.error("provide a PCAP path or --synthetic N")
+        from bshot_slam_tpu.io import native_decoder
+
+        sweeps = None
+        if native_decoder.is_available():
+            sweeps = native_decoder.decode_pcap_native(
+                args.pcap, cfg.sensor, skip=args.skip
+            )
+        if sweeps is None:  # pure-python fallback
+            payloads, _ = pcap_io.read_udp_payloads(args.pcap)
+            sweeps = velodyne.sweeps_from_payloads(payloads, cfg.sensor,
+                                                   skip=args.skip)
+        if not sweeps:
+            print("no complete sweeps found", file=sys.stderr)
+            return 1
+    if args.frames:
+        sweeps = sweeps[: args.frames]
+
+    eng = SlamEngine(cfg)
+    t_start = time.perf_counter()
+    for i, sw in enumerate(sweeps):
+        t0 = time.perf_counter()
+        rec = eng.process_sweep(sw)
+        dt = (time.perf_counter() - t0) * 1e3
+        pos = rec.pose[:3, 3]
+        print(
+            f"frame {i:4d}  pos=({pos[0]:9.0f},{pos[1]:9.0f},{pos[2]:8.0f})mm  "
+            f"mutual={rec.n_mutual:4d} inliers={rec.n_inliers:4d} "
+            f"{'GATED' if rec.gated else '     '} map={rec.map_size:6d}  "
+            f"{dt:7.1f}ms"
+        )
+    total = time.perf_counter() - t_start
+    n = len(eng.records)
+    print(f"{n} frames in {total:.1f}s ({n / total:.2f} fps incl. compile)")
+
+    if args.out:
+        traj_io.save_xyz(args.out, eng.trajectory)
+        print(f"trajectory -> {args.out}")
+    if args.gold:
+        gold = traj_io.load_xyz(args.gold)
+        print(f"ATE RMSE vs {args.gold}: {ate_rmse(eng.trajectory, gold):.1f} mm")
+    if args.checkpoint:
+        from bshot_slam_tpu.checkpoint import save_state
+
+        save_state(args.checkpoint, eng.state, eng.poses)
+        print(f"checkpoint -> {args.checkpoint}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
