@@ -27,9 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes: Tq sublanes x Tr lanes of the pair matrix; feature width F
-# is padded to a lane multiple by callers.
-TQ = 256
-TR = 512
+# is padded to a lane multiple by callers.  Large tiles amortize per-grid-
+# step overhead (measured ~8us/invocation): at (512, 1024) a 49k-point
+# sweep is ~4.6k invocations instead of ~18k, with the (TQ, TR) weight
+# tile at 2 MB VMEM.
+TQ = 512
+TR = 1024
 
 
 def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
@@ -100,9 +103,10 @@ def neighborhood_accumulate(
     return jnp.where(mask[:, None], out[:N], 0.0)
 
 
-def _segratio_kernel(q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref, *, r2):
+def _segratio_kernel(q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref, *, r2,
+                     normalized):
     """Per-query-side vector kernel: counts of sign(dot(ctvec_q, p_r - q))
-    and the CVS dot sums, fused with the radius test."""
+    and the CVS/CVSN dot sums, fused with the radius test."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -128,20 +132,30 @@ def _segratio_kernel(q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref, *, r2):
     w = within.astype(jnp.float32)
     pos = jnp.sum(w * (dots > 0), axis=1)
     neg = jnp.sum(w * (dots < 0), axis=1)
-    ssum = jnp.sum(jnp.where(within & (d2 > 0), dots, 0.0), axis=1)
+    if normalized:  # CVSN: dots / (|ctvec| * |p - q|)
+        vnorm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+        denom = vnorm * jnp.sqrt(jnp.maximum(d2, 1e-24))
+        terms = jnp.where(
+            within & (d2 > 0) & (denom > 0),
+            dots / jnp.maximum(denom, 1e-12), 0.0,
+        )
+    else:  # CVS
+        terms = jnp.where(within & (d2 > 0), dots, 0.0)
+    ssum = jnp.sum(terms, axis=1)
     out_ref[:, 0] += pos
     out_ref[:, 1] += neg
     out_ref[:, 2] += ssum
 
 
-@functools.partial(jax.jit, static_argnames=("radius",))
+@functools.partial(jax.jit, static_argnames=("radius", "normalized"))
 def segratio_accumulate(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     ctvec: jnp.ndarray,  # (N, 3) sp - centroid
     radius: float,
+    normalized: bool = False,
 ) -> jnp.ndarray:
-    """Returns (N, 3): [pos count, neg count, CVS dot sum] per point."""
+    """Returns (N, 3): [pos count, neg count, CVS(N) dot sum] per point."""
     N = points.shape[0]
     q = _pad_rows(points, TQ)
     r = _pad_rows(points, TR)
@@ -150,7 +164,8 @@ def segratio_accumulate(
     qv = _pad_rows(ctvec, TQ)
     grid = (q.shape[0] // TQ, r.shape[0] // TR)
     out = pl.pallas_call(
-        functools.partial(_segratio_kernel, r2=radius * radius),
+        functools.partial(_segratio_kernel, r2=radius * radius,
+                          normalized=normalized),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

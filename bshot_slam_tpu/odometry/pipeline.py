@@ -93,14 +93,46 @@ def compute_features(
     points: jnp.ndarray, pmask: jnp.ndarray, cfg: SlamConfig, tile: int
 ) -> FrameFeatures:
     """extractKeypoints + computeDescriptors (reference:
-    lidar_odometry.cpp:51-184) as pure tensor ops."""
-    kps = extract_keypoints(points, pmask, cfg.keypoints, tile)
-    if cfg.descriptor.use_surface_normals:
-        normals, _, _ = surface_normals(
-            points, pmask, cfg.descriptor.normal_radius_mm, tile
+    lidar_odometry.cpp:51-184) as pure tensor ops.
+
+    The SR saliency centroid pass and the normal-PCA pass need the same
+    neighborhood moments at the same radius (reference radii both 3000 mm —
+    lidar_odometry.cpp:68,174), so one fused sweep feeds both.
+    """
+    from bshot_slam_tpu.ops.keypoints import (
+        extract_keypoints as _extract, neighborhood_moments, seg_ratio_scores,
+    )
+    from bshot_slam_tpu.ops.normals import normals_from_moments
+
+    share = (
+        cfg.descriptor.use_surface_normals
+        and cfg.descriptor.normal_radius_mm == cfg.keypoints.radius_mm
+    )
+    if share:
+        cnt, psum, outer = neighborhood_moments(
+            points, pmask, cfg.keypoints.radius_mm, tile
         )
-    else:  # reference-mimic mode: zero surface normals (bshot_bits.h:59 note)
-        normals = jnp.zeros_like(points)
+        scores = seg_ratio_scores(points, pmask, cfg.keypoints, tile,
+                                  moments=(cnt, psum))
+        top_scores, top_idx = jax.lax.top_k(scores, cfg.keypoints.top_k)
+        kmask = jnp.isfinite(top_scores)
+        from bshot_slam_tpu.ops.keypoints import Keypoints
+
+        kps = Keypoints(
+            positions=jnp.where(kmask[:, None], points[top_idx], 0.0),
+            scores=jnp.where(kmask, top_scores, 0.0),
+            mask=kmask,
+            indices=jnp.where(kmask, top_idx, -1),
+        )
+        normals, _, _ = normals_from_moments(points, pmask, cnt, psum, outer)
+    else:
+        kps = extract_keypoints(points, pmask, cfg.keypoints, tile)
+        if cfg.descriptor.use_surface_normals:
+            normals, _, _ = surface_normals(
+                points, pmask, cfg.descriptor.normal_radius_mm, tile
+            )
+        else:  # reference-mimic mode: zero surface normals (bshot_bits.h:59)
+            normals = jnp.zeros_like(points)
     desc_f, desc_valid = shot_descriptors(
         kps.positions, kps.mask, points, pmask, normals, cfg.descriptor
     )

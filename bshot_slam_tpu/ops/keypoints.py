@@ -32,6 +32,12 @@ from bshot_slam_tpu.geometry.eig3 import eigvalsh3
 _NEG_INF = -jnp.inf
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernels on TPU; the lax.scan path elsewhere (tests run
+    the scan path on CPU and the two are cross-checked in interpret mode)."""
+    return jax.default_backend() == "tpu"
+
+
 def _ref_tiles(points: jnp.ndarray, mask: jnp.ndarray, tile: int):
     """Pad to a multiple of `tile` and reshape to (n_tiles, tile, ...)."""
     n = points.shape[0]
@@ -64,6 +70,32 @@ def neighborhood_moments(
     reference).  Masked points contribute nothing and receive zeros.
     """
     r2 = radius * radius
+    if _use_pallas():
+        from bshot_slam_tpu.kernels.neighborhood import neighborhood_accumulate
+
+        n = points.shape[0]
+        prods = jnp.stack(
+            [
+                points[:, 0] * points[:, 0], points[:, 0] * points[:, 1],
+                points[:, 0] * points[:, 2], points[:, 1] * points[:, 1],
+                points[:, 1] * points[:, 2], points[:, 2] * points[:, 2],
+            ],
+            axis=-1,
+        )
+        feat = jnp.zeros((n, 128), jnp.float32)
+        feat = feat.at[:, 0].set(1.0).at[:, 1:4].set(points).at[:, 4:10].set(prods)
+        acc = neighborhood_accumulate(points, mask, feat, radius)
+        cnt, s, o6 = acc[:, 0], acc[:, 1:4], acc[:, 4:10]
+        outer = jnp.stack(
+            [
+                jnp.stack([o6[:, 0], o6[:, 1], o6[:, 2]], axis=-1),
+                jnp.stack([o6[:, 1], o6[:, 3], o6[:, 4]], axis=-1),
+                jnp.stack([o6[:, 2], o6[:, 4], o6[:, 5]], axis=-1),
+            ],
+            axis=-2,
+        )
+        return cnt, s, outer
+
     ref_p, ref_m = _ref_tiles(points, mask, tile)
 
     def body(acc, ref):
@@ -109,14 +141,33 @@ def seg_ratio_scores(
     mask: jnp.ndarray,
     cfg: KeypointConfig,
     tile: int = 4096,
+    moments: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Per-point saliency (N,), -inf where undefined or masked."""
+    """Per-point saliency (N,), -inf where undefined or masked.
+
+    `moments` optionally supplies precomputed (count, sum) at cfg.radius_mm
+    so the sweep can be shared with normal estimation (same radius in the
+    reference: lidar_odometry.cpp:68 vs 174).
+    """
     r2 = cfg.radius_mm * cfg.radius_mm
-    cnt, psum, _ = neighborhood_moments(points, mask, cfg.radius_mm, tile)
+    if moments is None:
+        cnt, psum, _ = neighborhood_moments(points, mask, cfg.radius_mm, tile)
+    else:
+        cnt, psum = moments
     safe_cnt = jnp.maximum(cnt, 1.0)
     centroid = psum / safe_cnt[:, None]
     ctvec = points - centroid  # sp - ct (reference: lidar_odometry.cpp:79)
     ct_norm = jnp.linalg.norm(ctvec, axis=-1)
+
+    if _use_pallas():
+        from bshot_slam_tpu.kernels.neighborhood import segratio_accumulate
+
+        acc = segratio_accumulate(
+            points, mask, ctvec, cfg.radius_mm,
+            normalized=(cfg.sr_type == "CVSN"),
+        )
+        pos, neg, ssum = acc[:, 0], acc[:, 1], acc[:, 2]
+        return _finalize_scores(points, mask, cfg, cnt, pos, neg, ssum)
 
     ref_p, ref_m = _ref_tiles(points, mask, tile)
 
@@ -150,7 +201,10 @@ def seg_ratio_scores(
         jnp.zeros((n,), jnp.float32),
     )
     (pos, neg, ssum), _ = jax.lax.scan(body, init, (ref_p, ref_m))
+    return _finalize_scores(points, mask, cfg, cnt, pos, neg, ssum)
 
+
+def _finalize_scores(points, mask, cfg, cnt, pos, neg, ssum):
     if cfg.sr_type == "CV":
         mx = jnp.maximum(pos, neg)
         score = 1.0 - jnp.minimum(pos, neg) / jnp.maximum(mx, 1.0)

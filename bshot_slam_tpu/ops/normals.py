@@ -41,6 +41,18 @@ def surface_normals(
     valid=False (the reference sets NaN — bshot_bits.h:70).
     """
     cnt, psum, outer = neighborhood_moments(points, mask, radius, tile)
+    return normals_from_moments(points, mask, cnt, psum, outer, min_neighbors)
+
+
+def normals_from_moments(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cnt: jnp.ndarray,
+    psum: jnp.ndarray,
+    outer: jnp.ndarray,
+    min_neighbors: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Normals from precomputed neighborhood moments (shared-sweep path)."""
     safe = jnp.maximum(cnt, 1.0)
     mean = psum / safe[:, None]
     cov = outer / safe[:, None, None] - mean[:, :, None] * mean[:, None, :]

@@ -1,0 +1,66 @@
+"""Timing + profiling helpers.
+
+TicToc mirrors the reference's wall-clock stage timer (reference:
+include/tic_toc.h:7-25, printed as "t1"/"t2" in lidar_odometry.cpp:128,167).
+`device_timer` additionally forces a host fetch of the result so the timing
+covers real device execution (the axon backend can return from
+block_until_ready before remote compute settles — fetching a scalar is the
+reliable fence).  `trace` wraps jax.profiler for deep dives.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+
+class TicToc:
+    """Wall-clock ms timer (reference: include/tic_toc.h)."""
+
+    def __init__(self) -> None:
+        self.tic()
+
+    def tic(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        return (time.perf_counter() - self._t0) * 1e3
+
+
+def fence(tree) -> None:
+    """Force completion of a pytree of jax arrays by fetching one scalar of
+    each leaf (stronger than block_until_ready on remoted backends)."""
+    import jax
+    import jax.numpy as jnp
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype"):
+            x = jnp.ravel(leaf)[0]
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                float(x)
+            else:
+                int(x)
+
+
+def device_timer(fn: Callable, *args, reps: int = 5, warmup: int = 1,
+                 **kwargs) -> float:
+    """Median-free mean ms/rep of fn(*args) with completion fencing."""
+    for _ in range(warmup):
+        fence(fn(*args, **kwargs))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fence(fn(*args, **kwargs))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/bshot_slam_trace"):
+    """jax.profiler trace context (view with tensorboard/xprof)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
