@@ -65,7 +65,11 @@ def main(n_frames: int = 12, warmup: int = 2) -> None:
     for i in range(n_frames):
         key, sub = jax.random.split(key)
         state, diag = frame(state, sub, dev_inputs[i % len(dev_inputs)])
-    jax.block_until_ready(state)
+    # Fence with a host fetch: the whole frame chain hangs off the final
+    # state, and a scalar fetch is a reliable completion barrier on every
+    # backend (block_until_ready alone can return early through the axon
+    # remote tunnel).
+    _ = int(state.frame_idx) + int(diag.map_size)
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt

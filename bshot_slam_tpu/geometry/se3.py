@@ -174,6 +174,22 @@ def heading_angle(T_delta: jnp.ndarray) -> jnp.ndarray:
     return jnp.arccos(jnp.clip(R[..., 1, 1], -1.0, 1.0))
 
 
+def quat_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (..., 4) [w, x, y, z] -> (..., 3, 3) rotation."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                       2 * (x * z + w * y)], axis=-1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                       2 * (y * z - w * x)], axis=-1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                       1 - 2 * (x * x + y * y)], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def kabsch(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -182,9 +198,14 @@ def kabsch(
     """Weighted least-squares rigid transform T with dst ~= T(src).
 
     src, dst: (..., N, 3); weights: (..., N) nonnegative (mask or soft).
-    Returns (..., 4, 4).  Degenerate inputs (all-zero weights, rank-deficient
-    covariance) return a best-effort orthogonal solution rather than NaN, so
-    RANSAC hypothesis batches stay finite.
+    Returns (..., 4, 4).
+
+    Solved by Horn's quaternion method: the optimal rotation is the top
+    eigenvector of a 4x4 symmetric matrix built from the cross-covariance,
+    found here by shifted power iteration — branch-free, batched, and far
+    lighter to compile on TPU than an iterative SVD (this runs 2000x per
+    RANSAC batch).  Degenerate inputs (all-zero weights, rank-deficient
+    covariance) return a finite best-effort solution rather than NaN.
     """
     if weights is None:
         weights = jnp.ones(src.shape[:-1], dtype=src.dtype)
@@ -193,12 +214,29 @@ def kabsch(
     mu_dst = jnp.sum(dst * w[..., None], axis=-2)
     src_c = src - mu_src[..., None, :]
     dst_c = dst - mu_dst[..., None, :]
-    # Covariance H = sum_i w_i dst_i src_i^T  (3x3).
-    H = jnp.einsum("...n,...ni,...nj->...ij", w, dst_c, src_c)
-    U, _, Vt = jnp.linalg.svd(H)
-    det = jnp.linalg.det(jnp.matmul(U, Vt))
-    D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    D = D.at[..., 2, 2].set(det)
-    R = jnp.matmul(U, jnp.matmul(D, Vt))
+    # Cross-covariance H[a, b] = sum_i w_i src_i[a] dst_i[b].
+    H = jnp.einsum("...n,...na,...nb->...ab", w, src_c, dst_c)
+    # Normalize scale so the power-iteration shift is well conditioned.
+    scale = jnp.sqrt(jnp.sum(H * H, axis=(-2, -1), keepdims=True)) + _EPS
+    Hn = H / scale
+    Sxx, Sxy, Sxz = Hn[..., 0, 0], Hn[..., 0, 1], Hn[..., 0, 2]
+    Syx, Syy, Syz = Hn[..., 1, 0], Hn[..., 1, 1], Hn[..., 1, 2]
+    Szx, Szy, Szz = Hn[..., 2, 0], Hn[..., 2, 1], Hn[..., 2, 2]
+    K = jnp.stack(
+        [
+            jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1),
+            jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1),
+            jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1),
+            jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1),
+        ],
+        axis=-2,
+    )
+    # Shift by 2*I (eigenvalues of K/|H| lie in [-2, 2]) -> top eigenpair.
+    Ks = K + 2.0 * jnp.eye(4, dtype=K.dtype)
+    q = jnp.ones(K.shape[:-1], dtype=K.dtype)
+    for _ in range(30):
+        q = jnp.einsum("...ij,...j->...i", Ks, q)
+        q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + _EPS)
+    R = quat_to_matrix(q)
     t = mu_dst - jnp.einsum("...ij,...j->...i", R, mu_src)
     return from_rt(R, t)

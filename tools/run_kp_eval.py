@@ -8,6 +8,12 @@ Usage: run_kp_eval.py [pcap | --synthetic N] [--frames N] [--sr-type CV]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import sys
 

@@ -10,6 +10,12 @@ Usage: run_preprocess_eval.py [pcap | --synthetic N] [--select labels.txt]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import os
 import sys
