@@ -91,3 +91,23 @@ def test_repeatability_metric():
     # src0 within 30mm of ref0; src1 within 30 of ref1; src2 unmatched
     r = float(kp.repeatability(src, smask, ref, rmask, 30.0))
     assert abs(r - 2.0 / 3.0) < 1e-6
+
+
+def test_voxel_downsample(rng):
+    from bshot_slam_tpu.ops.voxelgrid import voxel_downsample
+
+    # two well-separated clusters -> at least 2, far fewer than N, centroids sane
+    a = rng.normal(0, 30, (100, 3)) + [0, 0, 0]
+    b = rng.normal(0, 30, (100, 3)) + [10000, 0, 0]
+    pts = np.concatenate([a, b]).astype(np.float32)
+    mask = np.ones(200, bool)
+    cents, valid = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask), 500.0, capacity=1024)
+    cents = np.asarray(cents)[np.asarray(valid)]
+    assert 2 <= len(cents) < 200
+    d_a = np.linalg.norm(cents - a.mean(0), axis=1).min()
+    d_b = np.linalg.norm(cents - b.mean(0), axis=1).min()
+    assert d_a < 500 and d_b < 500
+    # masked points never contribute
+    mask2 = np.zeros(200, bool)
+    c2, v2 = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask2), 500.0, capacity=1024)
+    assert not bool(v2.any())
