@@ -43,36 +43,48 @@ def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
     return x
 
 
-def _accum_kernel(q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref, *, r2):
+def _accum_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref,
+                  *, r2):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    q = q_ref[:]  # (TQ, 3f32)... padded to (TQ, 128) by caller layout
-    r = r_ref[:]
-    qq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
-    pp = jnp.sum(r * r, axis=1, keepdims=True)  # (TR, 1)
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (TQ, TR)
-    d2 = qq + pp.T - 2.0 * cross
-    within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
-    w = within.astype(jnp.float32)
-    out_ref[:] += jax.lax.dot_general(
-        w, feat_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # Tile-level sparsity: valid points sit at the front of the cloud
+    # (extract_cloud stable-partitions them there), so every tile fully
+    # past the last valid row contributes nothing — skip its MXU work.
+    nv = nv_ref[0]
+
+    @pl.when((i * TQ < nv) & (j * TR < nv))
+    def _():
+        q = q_ref[:]  # (TQ, 3f32)... padded to (TQ, 128) by caller layout
+        r = r_ref[:]
+        qq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
+        pp = jnp.sum(r * r, axis=1, keepdims=True)  # (TR, 1)
+        cross = jax.lax.dot_general(
+            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TQ, TR)
+        d2 = qq + pp.T - 2.0 * cross
+        within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+        w = within.astype(jnp.float32)
+        out_ref[:] += jax.lax.dot_general(
+            w, feat_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "feat_width"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "feat_width", "interpret")
+)
 def neighborhood_accumulate(
     points: jnp.ndarray,  # (N, 3) float32
     mask: jnp.ndarray,  # (N,) bool
     feat: jnp.ndarray,  # (N, F) float32 per-point features to sum
     radius: float,
     feat_width: int = 0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """out[i] = sum over in-radius j of feat[j]; masked rows give zeros."""
     N = points.shape[0]
@@ -85,11 +97,20 @@ def neighborhood_accumulate(
     Nq = q.shape[0]
     Nr = r.shape[0]
 
+    # Upper bound on valid rows: last set mask index + 1 (valid points are
+    # front-compacted by extract_cloud; for arbitrary masks this is still
+    # correct, just saves less).
+    n_valid = jnp.where(
+        jnp.any(mask),
+        points.shape[0] - jnp.argmax(mask[::-1]).astype(jnp.int32),
+        0,
+    )
     grid = (Nq // TQ, Nr // TR)
     out = pl.pallas_call(
         functools.partial(_accum_kernel, r2=radius * radius),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -99,61 +120,70 @@ def neighborhood_accumulate(
         out_specs=pl.BlockSpec((TQ, F), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nq, F), jnp.float32),
-    )(q, qm, r, rm, fp)
+        interpret=interpret,
+    )(n_valid.reshape(1), q, qm, r, rm, fp)
     return jnp.where(mask[:, None], out[:N], 0.0)
 
 
-def _segratio_kernel(q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref, *, r2,
-                     normalized):
+def _segratio_kernel(nv_ref, q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref,
+                     *, r2, normalized):
     """Per-query-side vector kernel: counts of sign(dot(ctvec_q, p_r - q))
     and the CVS/CVSN dot sums, fused with the radius test."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    q = q_ref[:]  # (TQ, 3)
-    v = qv_ref[:]  # (TQ, 3) ctvec
-    r = r_ref[:]  # (TR, 3)
-    qq = jnp.sum(q * q, axis=1, keepdims=True)
-    pp = jnp.sum(r * r, axis=1, keepdims=True)
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    d2 = qq + pp.T - 2.0 * cross
-    within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
-    # dot(v_q, p_r - q) = v.p_r - v.q
-    vr = jax.lax.dot_general(
-        v, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    vq = jnp.sum(v * q, axis=1, keepdims=True)
-    dots = vr - vq
-    w = within.astype(jnp.float32)
-    pos = jnp.sum(w * (dots > 0), axis=1)
-    neg = jnp.sum(w * (dots < 0), axis=1)
-    if normalized:  # CVSN: dots / (|ctvec| * |p - q|)
-        vnorm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
-        denom = vnorm * jnp.sqrt(jnp.maximum(d2, 1e-24))
-        terms = jnp.where(
-            within & (d2 > 0) & (denom > 0),
-            dots / jnp.maximum(denom, 1e-12), 0.0,
+    nv = nv_ref[0]
+
+    @pl.when((i * TQ < nv) & (j * TR < nv))
+    def _():
+        q = q_ref[:]  # (TQ, 3)
+        v = qv_ref[:]  # (TQ, 3) ctvec
+        r = r_ref[:]  # (TR, 3)
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        pp = jnp.sum(r * r, axis=1, keepdims=True)
+        cross = jax.lax.dot_general(
+            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-    else:  # CVS
-        terms = jnp.where(within & (d2 > 0), dots, 0.0)
-    ssum = jnp.sum(terms, axis=1)
-    out_ref[:, 0] += pos
-    out_ref[:, 1] += neg
-    out_ref[:, 2] += ssum
+        d2 = qq + pp.T - 2.0 * cross
+        within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+        # dot(v_q, p_r - q) = v.p_r - v.q
+        vr = jax.lax.dot_general(
+            v, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        vq = jnp.sum(v * q, axis=1, keepdims=True)
+        dots = vr - vq
+        w = within.astype(jnp.float32)
+        pos = jnp.sum(w * (dots > 0), axis=1)
+        neg = jnp.sum(w * (dots < 0), axis=1)
+        if normalized:  # CVSN: dots / (|ctvec| * |p - q|)
+            vnorm = jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
+            denom = vnorm * jnp.sqrt(jnp.maximum(d2, 1e-24))
+            terms = jnp.where(
+                within & (d2 > 0) & (denom > 0),
+                dots / jnp.maximum(denom, 1e-12), 0.0,
+            )
+        else:  # CVS
+            terms = jnp.where(within & (d2 > 0), dots, 0.0)
+        ssum = jnp.sum(terms, axis=1)
+        out_ref[:, 0] += pos
+        out_ref[:, 1] += neg
+        out_ref[:, 2] += ssum
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "normalized"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "normalized", "interpret")
+)
 def segratio_accumulate(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     ctvec: jnp.ndarray,  # (N, 3) sp - centroid
     radius: float,
     normalized: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns (N, 3): [pos count, neg count, CVS(N) dot sum] per point."""
     N = points.shape[0]
@@ -162,12 +192,18 @@ def segratio_accumulate(
     qm = _pad_rows(mask.astype(jnp.float32)[:, None], TQ)
     rm = _pad_rows(mask.astype(jnp.float32)[:, None], TR)
     qv = _pad_rows(ctvec, TQ)
+    n_valid = jnp.where(
+        jnp.any(mask),
+        points.shape[0] - jnp.argmax(mask[::-1]).astype(jnp.int32),
+        0,
+    )
     grid = (q.shape[0] // TQ, r.shape[0] // TR)
     out = pl.pallas_call(
         functools.partial(_segratio_kernel, r2=radius * radius,
                           normalized=normalized),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -177,5 +213,6 @@ def segratio_accumulate(
         out_specs=pl.BlockSpec((TQ, 128), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), jnp.float32),
-    )(q, qm, qv, r, rm)
+        interpret=interpret,
+    )(n_valid.reshape(1), q, qm, qv, r, rm)
     return jnp.where(mask[:, None], out[:N, :3], 0.0)

