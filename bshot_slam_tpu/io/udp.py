@@ -85,6 +85,11 @@ class UdpCapture:
                     except queue.Empty:
                         pass
 
+    @property
+    def port(self) -> int:
+        """Bound UDP port (useful with port=0 for an ephemeral port)."""
+        return self._sock.getsockname()[1]
+
     def retrieve(self, timeout: Optional[float] = None) -> Optional[LaserSweep]:
         """Next complete sweep, or None (non-blocking when timeout=None)."""
         try:

@@ -33,6 +33,9 @@ class FrameRecord:
     gated: bool
     map_size: int
     icp_rmse: float
+    # (mean, SD, median) inlier correspondence distance in mm
+    # (reference: lidar_odometry.cpp:304-330)
+    corr_stats: np.ndarray
 
 
 class SlamEngine:
@@ -93,6 +96,7 @@ class SlamEngine:
             gated=bool(diag.gated),
             map_size=int(diag.map_size),
             icp_rmse=float(diag.icp_rmse),
+            corr_stats=np.asarray(diag.corr_stats),
         )
         if self.enable_backend:
             self._maybe_keyframe(diag, rec)

@@ -66,6 +66,9 @@ class StepDiagnostics(NamedTuple):
     translation_diff_mm: jnp.ndarray
     map_size: jnp.ndarray
     icp_rmse: jnp.ndarray
+    # [mean, SD, median] of inlier correspondence distance (mm) after the
+    # final transform (reference: lidar_odometry.cpp:304-330).
+    corr_stats: jnp.ndarray  # (3,) float32
     # Correspondence details for the BA backend: per source keypoint, the
     # matched index into [map capacity | prev-frame keypoints] and whether it
     # was a RANSAC inlier (indices < map capacity are landmark observations).
@@ -200,7 +203,28 @@ def _match_and_estimate(
         mcfg.run_icp, se3.compose(icp.transform, T_est), T_j
     )
     n_mutual = jnp.sum(cmask.astype(jnp.int32))
-    return T_best, rr, matches, n_mutual, gate, h_diff, t_diff, icp.rmse
+
+    # Correspondence-quality stats over RANSAC inliers after the final
+    # transform (reference: lidar_odometry.cpp:304-330, printed when
+    # evaluate_corr_ is set; feeds Correspondences_analysis.m).  Median is
+    # the lower middle element of the sorted inlier distances.
+    d = jnp.linalg.norm(se3.apply(T_best, src.keypoints) - corr_dst, axis=-1)
+    w = rr.inliers
+    n_in = jnp.sum(w.astype(jnp.int32))
+    safe_n = jnp.maximum(n_in, 1).astype(jnp.float32)
+    c_mean = jnp.sum(jnp.where(w, d, 0.0)) / safe_n
+    c_std = jnp.sqrt(
+        jnp.sum(jnp.where(w, (d - c_mean) ** 2, 0.0)) / safe_n
+    )
+    d_sorted = jnp.sort(jnp.where(w, d, jnp.inf))
+    c_median = d_sorted[jnp.maximum(n_in - 1, 0) // 2]
+    corr_stats = jnp.where(
+        n_in > 0,
+        jnp.stack([c_mean, c_std, c_median]),
+        jnp.zeros(3, jnp.float32),
+    )
+    return (T_best, rr, matches, n_mutual, gate, h_diff, t_diff, icp.rmse,
+            corr_stats)
 
 
 @functools.partial(
@@ -218,7 +242,7 @@ def odometry_step(
     src = compute_features(points, pmask, cfg, tile)
 
     (T_best, rr, matches, n_mutual, gate, h_diff, t_diff,
-     icp_rmse) = _match_and_estimate(key, src, state, cfg)
+     icp_rmse, corr_stats) = _match_and_estimate(key, src, state, cfg)
 
     # INITIAL frame: identity pose, no gating (reference: self-match branch).
     is_initial = state.frame_idx == 0
@@ -247,6 +271,7 @@ def odometry_step(
         translation_diff_mm=t_diff,
         map_size=mapstore.map_size(new_map),
         icp_rmse=icp_rmse,
+        corr_stats=corr_stats,
         corr_index=matches.src_to_ref.astype(jnp.int32),
         corr_inlier=rr.inliers & ~is_initial,
         features=src,

@@ -97,3 +97,42 @@ def test_synthetic_ground_distance():
     expect = np.where(expect >= synthetic.MAX_RANGE_MM, 0.0, expect)
     got = ri.range_mm[:, 5]
     np.testing.assert_allclose(got, expect, rtol=5e-3)
+
+
+def test_udp_capture_loopback():
+    """Live UDP path (reference: VelodyneCapture.h:315-408): datagrams in,
+    complete sweeps out of the queue; incomplete tail never emitted."""
+    import socket
+    import time
+
+    from bshot_slam_tpu.config import default_config
+    from bshot_slam_tpu.io import synthetic, velodyne
+    from bshot_slam_tpu.io.udp import UdpCapture
+
+    sensor = default_config().sensor
+    sweeps, _ = synthetic.render_sequence(3, sensor, seed=2, n_firings=96)
+    pkts = velodyne.encode_packets(sweeps, sensor)
+
+    cap = UdpCapture(sensor, address="127.0.0.1", port=0,
+                     packets_per_batch=4)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in pkts:
+            tx.sendto(p.tobytes(), ("127.0.0.1", cap.port))
+            time.sleep(0.001)
+        tx.close()
+        got = []
+        deadline = time.time() + 10.0
+        while len(got) < 2 and time.time() < deadline:
+            sw = cap.retrieve(timeout=0.2)
+            if sw is not None:
+                got.append(sw)
+        # 3 rotations sent; the last is an undelimited tail, so >= 2 arrive.
+        assert len(got) >= 2
+        for sw in got:
+            assert len(sw.azimuth_deg) > 0
+            assert (np.diff(sw.azimuth_deg) >= 0).all()  # one clean rotation
+        assert cap.is_run()
+    finally:
+        cap.close()
+    assert not cap.is_run()

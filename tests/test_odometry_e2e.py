@@ -62,3 +62,26 @@ def test_first_frame_is_identity():
     rec = eng.process_sweep(sweeps[0])
     np.testing.assert_allclose(rec.pose, np.eye(4), atol=1e-6)
     assert rec.map_size > 0
+
+
+@pytest.mark.slow
+def test_corr_stats_sane():
+    """Inlier correspondence stats (reference: lidar_odometry.cpp:304-330):
+    nonnegative, median <= mean + SD, and below the RANSAC inlier bound."""
+    cfg = small_cfg()
+    sweeps, _ = synthetic.render_sequence(
+        3, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=5,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    eng = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        rec = eng.process_sweep(sw)
+    for r in eng.records[1:]:
+        if r.n_inliers == 0:
+            continue
+        mean, sd, median = r.corr_stats
+        assert 0 <= median <= mean + sd + 1e-3
+        assert np.isfinite(r.corr_stats).all()
+        # ICP can move points, but inliers were within the RANSAC threshold
+        # pre-refinement; allow 2x slack post-refinement.
+        assert median < 2 * cfg.match.ransac_inlier_th_mm

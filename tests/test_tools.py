@@ -1,0 +1,54 @@
+"""Smoke tests for the tools/ CLI drivers (the reference's test/ directory
+of evaluation executables — SURVEY §4).  Each runs as a subprocess on CPU
+with tiny synthetic inputs and must exit 0 with sane output."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOLS = os.path.join(REPO, "tools")
+
+
+def run_tool(name, *args, timeout=600):
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, name), *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_run_odometry_synthetic(tmp_path):
+    out = tmp_path / "traj.txt"
+    stdout = run_tool(
+        "run_odometry.py", "--synthetic", "3", "--n-azimuth", "256",
+        "--cpu", "--eval-corr", "--out", str(out),
+    )
+    assert "frame    2" in stdout
+    assert "corr dist mm" in stdout
+    assert len(out.read_text().strip().splitlines()) == 3
+
+
+@pytest.mark.slow
+def test_run_preprocess_eval_synthetic(tmp_path):
+    stdout = run_tool(
+        "run_preprocess_eval.py", "--synthetic", "1", "--n-azimuth", "256",
+        "--cpu", "--ply-out", str(tmp_path),
+    )
+    assert "keep" in stdout.lower() or "accuracy" in stdout.lower()
+    assert any(p.suffix == ".ply" for p in tmp_path.iterdir())
+
+
+def test_show_pointcloud_synthetic(tmp_path):
+    stdout = run_tool(
+        "show_pointcloud.py", "--synthetic", "1", "--n-azimuth", "128",
+        "--out", str(tmp_path),
+    )
+    assert "returns" in stdout
+    ply = tmp_path / "sweep_00000.ply"
+    assert ply.exists() and "element vertex" in ply.read_text()[:200]

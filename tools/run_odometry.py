@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
     ap.add_argument("--sr-type", choices=["CV", "CVS", "CVSN"], default="CV")
     ap.add_argument("--no-icp", action="store_true")
+    ap.add_argument("--eval-corr", action="store_true",
+                    help="print per-frame correspondence distance stats "
+                         "(reference setEvaluateCorr)")
     ap.add_argument("--n-azimuth", type=int, default=0,
                     help="override azimuth bins (synthetic; smaller = faster)")
     ap.add_argument("--out", help="save trajectory xyz text")
@@ -107,9 +110,23 @@ def main() -> int:
             f"{'GATED' if rec.gated else '     '} map={rec.map_size:6d}  "
             f"{dt:7.1f}ms"
         )
+        if args.eval_corr:
+            m, s, md = rec.corr_stats
+            print(f"      corr dist mm: mean={m:.1f} sd={s:.1f} median={md:.1f}")
     total = time.perf_counter() - t_start
     n = len(eng.records)
     print(f"{n} frames in {total:.1f}s ({n / total:.2f} fps incl. compile)")
+    if args.eval_corr and n > 1:
+        # Across-frame aggregate of the per-frame stats — the numbers the
+        # reference's MATLAB scripts plot from hand-copied stdout
+        # (reference: test/Correspondences_analysis.m:7-30).
+        cs = np.stack([r.corr_stats for r in eng.records[1:]])
+        med = cs[:, 2]
+        print(
+            f"corr median over {n - 1} frames: "
+            f"min={med.min():.1f} mean={med.mean():.1f} max={med.max():.1f} mm; "
+            f"inliers mean={np.mean([r.n_inliers for r in eng.records[1:]]):.1f}"
+        )
 
     if args.out:
         traj_io.save_xyz(args.out, eng.trajectory)
