@@ -86,15 +86,27 @@ def insert_keypoints(
     r2 = cfg.dedup_radius_mm * cfg.dedup_radius_mm
 
     # --- dedup against the existing map ---
-    d2 = _pair_d2(pos, state.positions)  # (K, C)
-    same_block = jnp.all(blk[:, None, :] == state.blocks[None, :, :], axis=-1)
-    blocker = (
-        state.valid[None, :]
-        & same_block
-        & (d2 < r2)
-        & (state.seg_ratios[None, :] >= seg[:, None])
-    )
-    rejected_by_map = jnp.any(blocker, axis=1)
+    # The map region is append-only (valid rows are exactly [0, cursor)),
+    # so the TPU kernel skips candidate tiles past the cursor.
+    if jax.default_backend() == "tpu":
+        from bshot_slam_tpu.kernels.mapops import dedup_blocked_bounded
+
+        rejected_by_map = dedup_blocked_bounded(
+            pos, blk, seg, state.positions, state.blocks, state.seg_ratios,
+            state.valid, state.cursor, dedup_radius=cfg.dedup_radius_mm,
+        )
+    else:
+        d2 = _pair_d2(pos, state.positions)  # (K, C)
+        same_block = jnp.all(
+            blk[:, None, :] == state.blocks[None, :, :], axis=-1
+        )
+        blocker = (
+            state.valid[None, :]
+            & same_block
+            & (d2 < r2)
+            & (state.seg_ratios[None, :] >= seg[:, None])
+        )
+        rejected_by_map = jnp.any(blocker, axis=1)
 
     # --- sequential-shadow dedup within the batch (i sees j < i) ---
     d2b = _pair_d2(pos, pos)

@@ -160,15 +160,22 @@ def _match_and_estimate(
     ref_pose = state.ref_pose
     center = se3.translation(ref_pose)
 
-    # Candidate set: map window  ∪  previous frame keypoints in world frame.
+    # Candidate set: map window  ∪  previous frame keypoints in world frame
+    # (map first, then ref — the reference's build order, which its strict-<
+    # minimum scans turn into map-wins tie-breaking: lidar_odometry.cpp:
+    # 196-208,217-242).  Valid map rows are the append-only prefix
+    # [0, cursor); the ref block rides at [capacity, capacity + K) and is
+    # always live, so the Pallas kernels skip only the empty middle.
     win = mapstore.query_mask(state.map, center, mcfg.map_query_range_mm, cfg.map)
     ref_world = se3.apply(ref_pose, state.ref.keypoints)
+    capacity = state.map.positions.shape[0]
     cand_pos = jnp.concatenate([state.map.positions, ref_world], axis=0)
     cand_desc = jnp.concatenate([state.map.descriptors, state.ref.descriptors])
     cand_mask = jnp.concatenate([win, state.ref.mask])
 
-    matches = hamming.mutual_nn(
-        src.descriptors, src.mask, cand_desc, cand_mask
+    matches = hamming.mutual_nn_bounded(
+        src.descriptors, src.mask, cand_desc, cand_mask, state.map.cursor,
+        tail_start=capacity,
     )
     corr_dst = cand_pos[matches.src_to_ref]
     cmask = matches.mutual
@@ -198,6 +205,8 @@ def _match_and_estimate(
         src_est, src.mask, cand_pos, cand_mask,
         iterations=mcfg.icp_iterations,
         max_corr_dist=mcfg.icp_max_corr_dist_mm,
+        n_valid_dst=state.map.cursor,
+        tail_start=capacity,
     )
     T_best = jnp.where(
         mcfg.run_icp, se3.compose(icp.transform, T_est), T_j

@@ -74,3 +74,35 @@ def mutual_nn(
     best = jnp.min(d, axis=1)
     mutual = mutual & (best < _BIG)
     return MutualMatches(src_to_ref=left_nn, distances=best, mutual=mutual)
+
+
+@functools.partial(jax.jit, static_argnames=("tail_start",))
+def mutual_nn_bounded(
+    a_words: jnp.ndarray,
+    a_mask: jnp.ndarray,
+    b_words: jnp.ndarray,
+    b_mask: jnp.ndarray,
+    n_valid_b: jnp.ndarray,
+    tail_start: int = -1,
+) -> MutualMatches:
+    """`mutual_nn` with an upper bound on valid candidate rows.
+
+    On TPU this runs the Pallas streaming kernel that skips candidate tiles
+    past `n_valid_b` (valid candidates must be front-compacted); elsewhere
+    it falls back to the dense path.  Results are identical.
+    """
+    if jax.default_backend() != "tpu":
+        return mutual_nn(a_words, a_mask, b_words, b_mask)
+    from bshot_slam_tpu.kernels.mapops import hamming_nn_bounded
+
+    a_bits = unpack_bits(a_words).astype(jnp.float32)
+    amin, aarg, _, barg = hamming_nn_bounded(
+        a_bits, a_mask, b_words, b_mask, n_valid_b, tail_start=tail_start
+    )
+    mutual = (barg[aarg] == jnp.arange(a_words.shape[0])) & a_mask
+    mutual = mutual & (amin < 1e30)
+    return MutualMatches(
+        src_to_ref=aarg,
+        distances=jnp.where(mutual, amin, _BIG).astype(jnp.int32),
+        mutual=mutual,
+    )

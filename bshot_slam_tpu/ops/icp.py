@@ -28,7 +28,7 @@ class IcpResult(NamedTuple):
     n_pairs: jnp.ndarray  # () correspondences used in the last iteration
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "tail_start"))
 def icp_point_to_point(
     src: jnp.ndarray,
     src_mask: jnp.ndarray,
@@ -36,16 +36,34 @@ def icp_point_to_point(
     dst_mask: jnp.ndarray,
     iterations: int = 10,
     max_corr_dist: float = 1.0e9,
+    n_valid_dst: jnp.ndarray | None = None,
+    tail_start: int = -1,
 ) -> IcpResult:
-    """Align (K, 3) masked source points to (M, 3) masked target points."""
+    """Align (K, 3) masked source points to (M, 3) masked target points.
+
+    `n_valid_dst` optionally bounds the valid (front-compacted) target rows
+    so the TPU Pallas NN kernel can skip empty map capacity; rows at or
+    past `tail_start` are always searched (the appended ref keypoints).
+    """
+    use_kernel = n_valid_dst is not None and jax.default_backend() == "tpu"
+    if use_kernel:
+        from bshot_slam_tpu.kernels.mapops import euclid_nn_bounded
 
     def body(T, _):
         cur = se3.apply(T, src)
-        d2 = _pair_d2(cur, dst)
-        d2 = jnp.where(dst_mask[None, :], d2, jnp.inf)
-        nn = jnp.argmin(d2, axis=1)
-        nn_d2 = jnp.min(d2, axis=1)
-        pair_ok = src_mask & jnp.isfinite(nn_d2) & (
+        if use_kernel:
+            nn_d2, nn = euclid_nn_bounded(
+                cur, src_mask, dst, dst_mask, n_valid_dst,
+                tail_start=tail_start,
+            )
+            nn_ok = nn_d2 < 1e30
+        else:
+            d2 = _pair_d2(cur, dst)
+            d2 = jnp.where(dst_mask[None, :], d2, jnp.inf)
+            nn = jnp.argmin(d2, axis=1)
+            nn_d2 = jnp.min(d2, axis=1)
+            nn_ok = jnp.isfinite(nn_d2)
+        pair_ok = src_mask & nn_ok & (
             nn_d2 <= max_corr_dist * max_corr_dist
         )
         w = pair_ok.astype(jnp.float32)

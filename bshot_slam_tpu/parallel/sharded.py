@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -99,3 +100,56 @@ def sharded_odometry_step(
         return jax.device_put(state, st_sh)
 
     return step, shard_state
+
+
+def sharded_ba_solve(
+    mesh: Mesh,
+    prob,
+    gn_iterations: int = 5,
+    cg_iterations: int = 20,
+):
+    """Bundle adjustment with the observation axis sharded over every mesh
+    device (SURVEY §7 phase 6): the per-observation residual/Jacobian math
+    runs shard-local and GSPMD turns each `segment_sum` into the
+    reduce/psum of the reduced camera system.  Pose/landmark states stay
+    replicated (they are tiny next to the observation set).
+
+    Observations are zero-mask padded to a multiple of the device count.
+    """
+    import functools as _ft
+
+    from bshot_slam_tpu.backend import ba as ba_mod
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    O = prob.obs_kf.shape[0]
+    pad = (-O) % n_dev
+    if pad:
+        prob = prob._replace(
+            obs_kf=jnp.concatenate(
+                [prob.obs_kf, jnp.zeros(pad, prob.obs_kf.dtype)]
+            ),
+            obs_lm=jnp.concatenate(
+                [prob.obs_lm, jnp.zeros(pad, prob.obs_lm.dtype)]
+            ),
+            obs_p=jnp.concatenate(
+                [prob.obs_p, jnp.zeros((pad, 3), prob.obs_p.dtype)]
+            ),
+            obs_mask=jnp.concatenate([prob.obs_mask, jnp.zeros(pad, bool)]),
+        )
+    repl = NamedSharding(mesh, P())
+    obs = NamedSharding(mesh, P(mesh.axis_names))
+    obs2 = NamedSharding(mesh, P(mesh.axis_names, None))
+    in_sh = ba_mod.BAProblem(
+        poses=repl, landmarks=repl, obs_kf=obs, obs_lm=obs, obs_p=obs2,
+        obs_mask=obs,
+    )
+    solve = jax.jit(
+        _ft.partial(
+            ba_mod.ba_solve.__wrapped__,
+            gn_iterations=gn_iterations,
+            cg_iterations=cg_iterations,
+        ),
+        in_shardings=(in_sh,),
+        out_shardings=None,
+    )
+    return solve(jax.device_put(prob, in_sh))

@@ -59,3 +59,26 @@ def test_sharded_two_frames_progress():
     t = np.linalg.norm(np.asarray(d1.pose)[:3, 3])
     assert t < 2000.0
     assert int(d1.map_size) >= int(d0.map_size)
+
+
+def test_sharded_ba_matches_dense():
+    """Obs-sharded BA (segment_sum -> psum under GSPMD) must match the
+    single-device solve."""
+    import numpy as np
+
+    from bshot_slam_tpu.backend import ba
+    from bshot_slam_tpu.parallel import sharded
+    from tests.test_backend import _ba_problem
+
+    rng = np.random.default_rng(9)
+    prob, _, _ = _ba_problem(rng, M=5, L=30)
+    dense = ba.ba_solve(prob, gn_iterations=3, cg_iterations=15)
+    mesh = sharded.make_mesh(jax.devices()[:8])
+    dist = sharded.sharded_ba_solve(mesh, prob, gn_iterations=3,
+                                    cg_iterations=15)
+    assert float(dist.final_cost) < float(dist.initial_cost)
+    np.testing.assert_allclose(np.asarray(dist.poses),
+                               np.asarray(dense.poses), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(dist.landmarks),
+                               np.asarray(dense.landmarks), rtol=1e-3,
+                               atol=1.0)
