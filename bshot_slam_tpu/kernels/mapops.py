@@ -65,8 +65,9 @@ def _unpack_tile(words: jnp.ndarray) -> jnp.ndarray:
     for w in range(words.shape[1]):
         word = words[:, w][:, None]
         shift = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
+        # Mosaic has no uint32->float32 cast; bounce through int32.
         cols.append(
-            ((word >> shift) & 1).astype(jnp.float32)
+            ((word >> shift) & 1).astype(jnp.int32).astype(jnp.float32)
         )
     return jnp.concatenate(cols, axis=1)
 
