@@ -214,6 +214,11 @@ class RuntimeConfig:
 
     # Tile sizes for brute-force neighborhood passes.
     point_tile: int = 2048
+    # Cloud-capacity ladder: the engine front-compacts each frame's kept
+    # points and runs the step at the smallest bucket >= n_valid, so the
+    # O(N^2) neighborhood grids scale with the live cloud instead of
+    # max_points.  One XLA compile per bucket actually used.
+    cloud_buckets: Tuple[int, ...] = (8192, 16384, 32768, 49152)
     # dtype used for MXU Hamming/distance matmuls.
     matmul_dtype: str = "bfloat16"
     # Mesh axis names for the multi-chip path.

@@ -25,6 +25,16 @@ from bshot_slam_tpu.ops import preprocess as pp
 from bshot_slam_tpu.ops.rangeimage import build_range_image
 
 
+def pick_bucket(n_valid: int, cfg: SlamConfig) -> int:
+    """Smallest configured cloud bucket holding n_valid points (capped at
+    max_points; buckets above the cap are ignored)."""
+    cap = cfg.preprocess.max_points
+    for b in sorted(cfg.runtime.cloud_buckets):
+        if n_valid <= b <= cap:
+            return b
+    return cap
+
+
 @dataclasses.dataclass
 class FrameRecord:
     pose: np.ndarray  # (4, 4)
@@ -82,6 +92,13 @@ class SlamEngine:
         points, pmask = pp.extract_cloud(
             res, sel, self.cfg.preprocess.max_points
         )
+        # Capacity bucketing: extract_cloud front-compacts kept points, so
+        # slicing to the smallest bucket >= n_valid preserves every valid
+        # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
+        # Pallas grid steps on typical urban frames).
+        b = pick_bucket(int(jnp.sum(pmask)), self.cfg)
+        if b < points.shape[0]:
+            points, pmask = points[:b], pmask[:b]
         return self.process_cloud(points, pmask)
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray) -> FrameRecord:

@@ -64,3 +64,20 @@ def trace(logdir: str = "/tmp/bshot_slam_trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_persistent_compile_cache(
+    path: str = "/root/repo/.jax_cache", min_compile_secs: float = 1.0
+) -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory so
+    repeat CLI/bench invocations skip the 10-40 s first-compile of the big
+    fused steps.  Safe to call multiple times; no-op if already configured."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception:
+        pass  # older jax without the flags: cache is an optimization only

@@ -85,3 +85,48 @@ def test_corr_stats_sane():
         # ICP can move points, but inliers were within the RANSAC threshold
         # pre-refinement; allow 2x slack post-refinement.
         assert median < 2 * cfg.match.ransac_inlier_th_mm
+
+
+def test_bucketed_step_matches_full_capacity():
+    """Slicing the front-compacted cloud to a smaller capacity bucket must
+    not change the step result (engine.pick_bucket's correctness premise)."""
+    import jax
+
+    from bshot_slam_tpu.odometry import pipeline
+    from bshot_slam_tpu.odometry.engine import pick_bucket
+
+    cfg = small_cfg()
+    rng = np.random.default_rng(3)
+    n = 700
+    P = cfg.preprocess.max_points
+    pts = np.zeros((P, 3), np.float32)
+    pts[:n] = rng.uniform(-15000, 15000, (n, 3)).astype(np.float32)
+    pmask = np.zeros(P, bool)
+    pmask[:n] = True
+
+    key = jax.random.PRNGKey(0)
+    state = pipeline.init_state(cfg)
+    _, diag_full = pipeline.odometry_step(
+        state, pts, pmask, key, cfg, tile=512
+    )
+    b = 2048
+    assert n <= b < P
+    state2 = pipeline.init_state(cfg)
+    _, diag_cut = pipeline.odometry_step(
+        state2, pts[:b], pmask[:b], key, cfg, tile=512
+    )
+    np.testing.assert_allclose(
+        np.asarray(diag_full.pose), np.asarray(diag_cut.pose), atol=1e-4
+    )
+    assert int(diag_full.map_size) == int(diag_cut.map_size)
+
+
+def test_pick_bucket_ladder():
+    from bshot_slam_tpu.config import default_config
+    from bshot_slam_tpu.odometry.engine import pick_bucket
+
+    cfg = default_config()
+    assert pick_bucket(100, cfg) == 8192
+    assert pick_bucket(8192, cfg) == 8192
+    assert pick_bucket(8193, cfg) == 16384
+    assert pick_bucket(10**6, cfg) == cfg.preprocess.max_points

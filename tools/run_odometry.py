@@ -48,6 +48,10 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from bshot_slam_tpu.utils.profiling import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     import dataclasses
 
     import numpy as np
