@@ -106,14 +106,17 @@ class SlamEngine:
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
         )
+        # One host fetch for all scalar diagnostics (pipeline packs them),
+        # instead of seven round trips — dominant cost on remoted devices.
+        pk = np.asarray(diag.packed)
         rec = FrameRecord(
-            pose=np.asarray(diag.pose),
-            n_inliers=int(diag.n_inliers),
-            n_mutual=int(diag.n_mutual),
-            gated=bool(diag.gated),
-            map_size=int(diag.map_size),
-            icp_rmse=float(diag.icp_rmse),
-            corr_stats=np.asarray(diag.corr_stats),
+            pose=pk[:16].reshape(4, 4),
+            n_inliers=int(pk[17]),
+            n_mutual=int(pk[16]),
+            gated=bool(pk[18] > 0),
+            map_size=int(pk[21]),
+            icp_rmse=float(pk[22]),
+            corr_stats=pk[23:26].copy(),
         )
         if self.enable_backend:
             self._maybe_keyframe(diag, rec)

@@ -75,6 +75,11 @@ class StepDiagnostics(NamedTuple):
     corr_index: jnp.ndarray  # (K,) int32
     corr_inlier: jnp.ndarray  # (K,) bool
     features: "FrameFeatures"  # this frame's features (for keyframing)
+    # All host-facing scalars flattened into one (26,) float32 vector
+    # [pose(16), n_mutual, n_inliers, gated, h_diff, t_diff, map_size,
+    # icp_rmse, corr_stats(3)] so drivers fetch per-frame diagnostics in a
+    # single device->host transfer (one RPC on remoted backends).
+    packed: jnp.ndarray
 
 
 def init_state(cfg: SlamConfig) -> OdometryState:
@@ -271,6 +276,20 @@ def odometry_step(
         ref_pose=T_best,
         frame_idx=state.frame_idx + 1,
     )
+    msize = mapstore.map_size(new_map)
+    packed = jnp.concatenate([
+        T_best.reshape(16),
+        jnp.stack([
+            n_mutual.astype(jnp.float32),
+            rr.n_inliers.astype(jnp.float32),
+            gate.astype(jnp.float32),
+            h_diff,
+            t_diff,
+            msize.astype(jnp.float32),
+            icp_rmse,
+        ]),
+        corr_stats,
+    ])
     diag = StepDiagnostics(
         pose=T_best,
         n_mutual=n_mutual,
@@ -278,11 +297,12 @@ def odometry_step(
         gated=gate,
         heading_diff_rad=h_diff,
         translation_diff_mm=t_diff,
-        map_size=mapstore.map_size(new_map),
+        map_size=msize,
         icp_rmse=icp_rmse,
         corr_stats=corr_stats,
         corr_index=matches.src_to_ref.astype(jnp.int32),
         corr_inlier=rr.inliers & ~is_initial,
         features=src,
+        packed=packed,
     )
     return new_state, diag
