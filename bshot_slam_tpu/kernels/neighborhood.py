@@ -43,8 +43,36 @@ def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
     return x
 
 
-def _accum_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref,
-                  *, r2):
+_INF = 3.0e38
+
+
+def _tile_aabbs(points: jnp.ndarray, mask: jnp.ndarray, tile: int):
+    """Per-tile axis-aligned bounds over valid rows: ((NT, 3) lo, (NT, 3) hi).
+
+    Entirely-masked tiles get (+inf, -inf) so any separation test prunes
+    them.  Points arrive in scan order (azimuth-major from extract_cloud),
+    which is spatially coherent, so tile boxes are tight in practice."""
+    p = points.reshape(-1, tile, 3)
+    m = mask.reshape(-1, tile, 1)
+    lo = jnp.min(jnp.where(m, p, _INF), axis=1)
+    hi = jnp.max(jnp.where(m, p, -_INF), axis=1)
+    return lo, hi
+
+
+def _boxes_separated(qlo_ref, qhi_ref, rlo_ref, rhi_ref, i, j, rad):
+    """True if the closest points of tile boxes i and j are > rad apart in
+    some axis (then no pair can be within rad; the prune is conservative)."""
+    sep = False
+    for d in range(3):
+        sep = sep | (qlo_ref[i, d] - rhi_ref[j, d] > rad) | (
+            rlo_ref[j, d] - qhi_ref[i, d] > rad
+        )
+    return sep
+
+
+def _accum_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
+                  q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref,
+                  *, r2, rad):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -55,9 +83,12 @@ def _accum_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref,
     # Tile-level sparsity: valid points sit at the front of the cloud
     # (extract_cloud stable-partitions them there), so every tile fully
     # past the last valid row contributes nothing — skip its MXU work.
+    # AABB pruning: scan-ordered points are spatially coherent, so most
+    # tile pairs are farther apart than the radius — skip those too.
     nv = nv_ref[0]
+    sep = _boxes_separated(qlo_ref, qhi_ref, rlo_ref, rhi_ref, i, j, rad)
 
-    @pl.when((i * TQ < nv) & (j * TR < nv))
+    @pl.when((i * TQ < nv) & (j * TR < nv) & jnp.logical_not(sep))
     def _():
         q = q_ref[:]  # (TQ, 3f32)... padded to (TQ, 128) by caller layout
         r = r_ref[:]
@@ -105,11 +136,17 @@ def neighborhood_accumulate(
         points.shape[0] - jnp.argmax(mask[::-1]).astype(jnp.int32),
         0,
     )
+    qlo, qhi = _tile_aabbs(q, _pad_rows(mask, TQ), TQ)
+    rlo, rhi = _tile_aabbs(r, _pad_rows(mask, TR), TR)
     grid = (Nq // TQ, Nr // TR)
     out = pl.pallas_call(
-        functools.partial(_accum_kernel, r2=radius * radius),
+        functools.partial(_accum_kernel, r2=radius * radius, rad=radius),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -121,12 +158,13 @@ def neighborhood_accumulate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nq, F), jnp.float32),
         interpret=interpret,
-    )(n_valid.reshape(1), q, qm, r, rm, fp)
+    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, r, rm, fp)
     return jnp.where(mask[:, None], out[:N], 0.0)
 
 
-def _segratio_kernel(nv_ref, q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref,
-                     *, r2, normalized):
+def _segratio_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
+                     q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref,
+                     *, r2, rad, normalized):
     """Per-query-side vector kernel: counts of sign(dot(ctvec_q, p_r - q))
     and the CVS/CVSN dot sums, fused with the radius test."""
     i = pl.program_id(0)
@@ -137,8 +175,9 @@ def _segratio_kernel(nv_ref, q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     nv = nv_ref[0]
+    sep = _boxes_separated(qlo_ref, qhi_ref, rlo_ref, rhi_ref, i, j, rad)
 
-    @pl.when((i * TQ < nv) & (j * TR < nv))
+    @pl.when((i * TQ < nv) & (j * TR < nv) & jnp.logical_not(sep))
     def _():
         q = q_ref[:]  # (TQ, 3)
         v = qv_ref[:]  # (TQ, 3) ctvec
@@ -197,12 +236,18 @@ def segratio_accumulate(
         points.shape[0] - jnp.argmax(mask[::-1]).astype(jnp.int32),
         0,
     )
+    qlo, qhi = _tile_aabbs(q, _pad_rows(mask, TQ), TQ)
+    rlo, rhi = _tile_aabbs(r, _pad_rows(mask, TR), TR)
     grid = (q.shape[0] // TQ, r.shape[0] // TR)
     out = pl.pallas_call(
-        functools.partial(_segratio_kernel, r2=radius * radius,
+        functools.partial(_segratio_kernel, r2=radius * radius, rad=radius,
                           normalized=normalized),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -214,5 +259,5 @@ def segratio_accumulate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), jnp.float32),
         interpret=interpret,
-    )(n_valid.reshape(1), q, qm, qv, r, rm)
+    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, qv, r, rm)
     return jnp.where(mask[:, None], out[:N, :3], 0.0)

@@ -95,3 +95,44 @@ def test_segratio_matches_scan(cloud, sr_type):
     np.testing.assert_allclose(a[np.isfinite(a)], b[np.isfinite(b)],
                                rtol=1e-4, atol=1e-4)
     assert finite.sum() > 100
+
+
+def test_aabb_pruning_two_far_clusters():
+    """Tile-AABB pruning must not change results when valid points form
+    widely separated clusters (the prune-heavy case)."""
+    import jax.numpy as jnp
+
+    from bshot_slam_tpu.kernels.neighborhood import neighborhood_accumulate
+
+    rng = np.random.default_rng(11)
+    n = 1536
+    pts = np.zeros((n, 3), np.float32)
+    pts[: n // 2] = rng.uniform(0, 2000, (n // 2, 3))
+    pts[n // 2:] = rng.uniform(50000, 52000, (n // 2, 3))
+    mask = np.ones(n, bool)
+    mask[rng.integers(0, n, 100)] = False
+    feat = np.zeros((n, 128), np.float32)
+    feat[:, 0] = 1.0
+    feat[:, 1:4] = pts
+    out = neighborhood_accumulate(
+        jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(feat), 800.0,
+        interpret=True,
+    )
+    # Oracle in float64; rows with any pair within f32 rounding slop of the
+    # radius boundary are excluded (at 50 m coordinates the kernel's
+    # |q|^2+|p|^2-2qp expansion rounds the boundary by ~1 mm).  What this
+    # test isolates is the AABB prune: a wrongly pruned tile would zero
+    # entire 1024-row spans, not nudge boundary counts.
+    p64 = pts.astype(np.float64)
+    d2 = ((p64[:, None, :] - p64[None, :, :]) ** 2).sum(-1)
+    within = (d2 <= 800.0**2) & mask[None, :] & mask[:, None]
+    cnt = within.sum(1)
+    got = np.asarray(out)[:, 0]
+    # A wrongly pruned tile would wipe ~all of a row's ~170 neighbors;
+    # boundary rounding only perturbs counts by a few.
+    assert np.abs(got - cnt).max() <= 5
+    psum = within.astype(np.float64) @ p64
+    rel = np.linalg.norm(np.asarray(out)[:, 1:4] - psum, axis=1) / np.maximum(
+        np.linalg.norm(psum, axis=1), 1.0
+    )
+    assert rel.max() < 0.05
