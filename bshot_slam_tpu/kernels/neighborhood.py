@@ -27,12 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes: Tq sublanes x Tr lanes of the pair matrix; feature width F
-# is padded to a lane multiple by callers.  Large tiles amortize per-grid-
-# step overhead (measured ~8us/invocation): at (512, 1024) a 49k-point
-# sweep is ~4.6k invocations instead of ~18k, with the (TQ, TR) weight
-# tile at 2 MB VMEM.
-TQ = 512
-TR = 1024
+# is padded to a lane multiple by callers.  With AABB pruning skipping the
+# far tile pairs, per-grid-step overhead (~1-2us) dominates, so tiles are
+# as large as VMEM allows: at (1024, 2048) a 49k-point sweep is ~600
+# invocations, with the (TQ, TR) pair tile at 8 MB VMEM.
+TQ = 1024
+TR = 2048
 
 
 def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
