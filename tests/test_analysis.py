@@ -68,7 +68,7 @@ def test_run_analysis_ground_e2e(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_analysis.py"),
          "ground", "--synthetic", "2", "--n-azimuth", "128", "--cpu",
-         "--vert-inits", "-0.6,-1.2", "--out", out],
+         "--vert-inits=-0.6,-1.2", "--out", out],
         capture_output=True, text=True, timeout=560,
     )
     assert r.returncode == 0, r.stderr[-2000:]
