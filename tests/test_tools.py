@@ -52,3 +52,26 @@ def test_show_pointcloud_synthetic(tmp_path):
     assert "returns" in stdout
     ply = tmp_path / "sweep_00000.ply"
     assert ply.exists() and "element vertex" in ply.read_text()[:200]
+
+
+@pytest.mark.slow
+def test_run_odometry_checkpoint_resume(tmp_path):
+    """Checkpoint then resume carries the map, pose and trajectory forward
+    (the reference has no state serialization at all — SURVEY §5)."""
+    ck1, ck2 = tmp_path / "ck1", tmp_path / "ck2"
+    t2 = tmp_path / "t2.txt"
+    run_tool(
+        "run_odometry.py", "--synthetic", "2", "--n-azimuth", "256", "--cpu",
+        "--checkpoint", str(ck1),
+    )
+    stdout = run_tool(
+        "run_odometry.py", "--synthetic", "2", "--n-azimuth", "256", "--cpu",
+        "--resume", str(ck1), "--checkpoint", str(ck2), "--out", str(t2),
+    )
+    assert "resumed from" in stdout and "frame_idx=2" in stdout
+    # prior 2 + new 2 poses in the combined trajectory and checkpoint
+    assert len(t2.read_text().strip().splitlines()) == 4
+    from bshot_slam_tpu.checkpoint import load_state
+
+    state, poses = load_state(str(ck2))
+    assert poses.shape[0] == 4 and int(state.frame_idx) == 4

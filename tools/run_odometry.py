@@ -40,6 +40,8 @@ def main() -> int:
     ap.add_argument("--out", help="save trajectory xyz text")
     ap.add_argument("--gold", help="compare against a saved trajectory (ATE)")
     ap.add_argument("--checkpoint", help="save final SLAM state to this dir")
+    ap.add_argument("--resume", help="resume from a checkpoint dir (map, "
+                    "reference frame, pose and prior trajectory carry over)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -102,6 +104,14 @@ def main() -> int:
         sweeps = sweeps[: args.frames]
 
     eng = SlamEngine(cfg)
+    prior_traj = None
+    if args.resume:
+        from bshot_slam_tpu.checkpoint import load_state
+
+        eng.state, prior_poses = load_state(args.resume)
+        prior_traj = prior_poses[:, :3, 3] if len(prior_poses) else None
+        print(f"resumed from {args.resume}: map={int(eng.state.map.cursor)} "
+              f"frame_idx={int(eng.state.frame_idx)}")
     t_start = time.perf_counter()
     for i, sw in enumerate(sweeps):
         t0 = time.perf_counter()
@@ -133,15 +143,23 @@ def main() -> int:
         )
 
     if args.out:
-        traj_io.save_xyz(args.out, eng.trajectory)
+        traj = eng.trajectory
+        if prior_traj is not None:
+            traj = np.concatenate([prior_traj, traj], axis=0)
+        traj_io.save_xyz(args.out, traj)
         print(f"trajectory -> {args.out}")
     if args.gold:
         gold = traj_io.load_xyz(args.gold)
         print(f"ATE RMSE vs {args.gold}: {ate_rmse(eng.trajectory, gold):.1f} mm")
     if args.checkpoint:
-        from bshot_slam_tpu.checkpoint import save_state
+        from bshot_slam_tpu.checkpoint import load_state, save_state
 
-        save_state(args.checkpoint, eng.state, eng.poses)
+        all_poses = eng.poses
+        if args.resume:
+            _, prior_poses = load_state(args.resume)
+            if len(prior_poses):
+                all_poses = np.concatenate([prior_poses, all_poses], axis=0)
+        save_state(args.checkpoint, eng.state, all_poses)
         print(f"checkpoint -> {args.checkpoint}")
     return 0
 
