@@ -102,40 +102,16 @@ def sharded_odometry_step(
     return step, shard_state
 
 
-def sharded_ba_solve(
-    mesh: Mesh,
-    prob,
-    gn_iterations: int = 5,
-    cg_iterations: int = 20,
-):
-    """Bundle adjustment with the observation axis sharded over every mesh
-    device (SURVEY §7 phase 6): the per-observation residual/Jacobian math
-    runs shard-local and GSPMD turns each `segment_sum` into the
-    reduce/psum of the reduced camera system.  Pose/landmark states stay
-    replicated (they are tiny next to the observation set).
+import functools as _ft
 
-    Observations are zero-mask padded to a multiple of the device count.
-    """
-    import functools as _ft
 
+@_ft.lru_cache(maxsize=16)
+def _ba_solver(mesh: Mesh, gn_iterations: int, cg_iterations: int):
+    """Cached jitted sharded BA solver for a mesh (jit caches by function
+    identity, so building a fresh partial per call would recompile every
+    solve)."""
     from bshot_slam_tpu.backend import ba as ba_mod
 
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    O = prob.obs_kf.shape[0]
-    pad = (-O) % n_dev
-    if pad:
-        prob = prob._replace(
-            obs_kf=jnp.concatenate(
-                [prob.obs_kf, jnp.zeros(pad, prob.obs_kf.dtype)]
-            ),
-            obs_lm=jnp.concatenate(
-                [prob.obs_lm, jnp.zeros(pad, prob.obs_lm.dtype)]
-            ),
-            obs_p=jnp.concatenate(
-                [prob.obs_p, jnp.zeros((pad, 3), prob.obs_p.dtype)]
-            ),
-            obs_mask=jnp.concatenate([prob.obs_mask, jnp.zeros(pad, bool)]),
-        )
     repl = NamedSharding(mesh, P())
     obs = NamedSharding(mesh, P(mesh.axis_names))
     obs2 = NamedSharding(mesh, P(mesh.axis_names, None))
@@ -152,4 +128,38 @@ def sharded_ba_solve(
         in_shardings=(in_sh,),
         out_shardings=None,
     )
+    return solve, in_sh
+
+
+def sharded_ba_solve(
+    mesh: Mesh,
+    prob,
+    gn_iterations: int = 5,
+    cg_iterations: int = 20,
+):
+    """Bundle adjustment with the observation axis sharded over every mesh
+    device (SURVEY §7 phase 6): the per-observation residual/Jacobian math
+    runs shard-local and GSPMD turns each `segment_sum` into the
+    reduce/psum of the reduced camera system.  Pose/landmark states stay
+    replicated (they are tiny next to the observation set).
+
+    Observations are zero-mask padded to a multiple of the device count.
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    O = prob.obs_kf.shape[0]
+    pad = (-O) % n_dev
+    if pad:
+        prob = prob._replace(
+            obs_kf=jnp.concatenate(
+                [prob.obs_kf, jnp.zeros(pad, prob.obs_kf.dtype)]
+            ),
+            obs_lm=jnp.concatenate(
+                [prob.obs_lm, jnp.zeros(pad, prob.obs_lm.dtype)]
+            ),
+            obs_p=jnp.concatenate(
+                [prob.obs_p, jnp.zeros((pad, 3), prob.obs_p.dtype)]
+            ),
+            obs_mask=jnp.concatenate([prob.obs_mask, jnp.zeros(pad, bool)]),
+        )
+    solve, in_sh = _ba_solver(mesh, gn_iterations, cg_iterations)
     return solve(jax.device_put(prob, in_sh))
