@@ -75,3 +75,56 @@ def test_run_odometry_checkpoint_resume(tmp_path):
 
     state, poses = load_state(str(ck2))
     assert poses.shape[0] == 4 and int(state.frame_idx) == 4
+
+
+@pytest.mark.slow
+def test_run_odometry_live_udp(tmp_path):
+    """Live-sensor mode: the driver ingests Velodyne datagrams off a UDP
+    socket (reference: VelodyneCapture.h:315-408 + odometry_test main loop)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import threading
+    import time
+
+    from bshot_slam_tpu.config import default_config
+    from bshot_slam_tpu.io import synthetic, velodyne
+
+    # pick a free UDP port
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    import dataclasses
+    sensor = dataclasses.replace(default_config().sensor, n_azimuth=128)
+    sweeps, _ = synthetic.render_sequence(3, sensor, seed=2, n_firings=128)
+    pkts = velodyne.encode_packets(sweeps, sensor)
+
+    out = tmp_path / "traj.txt"
+    proc = subprocess.Popen(
+        [_sys.executable, os.path.join(TOOLS, "run_odometry.py"),
+         "--udp", str(port), "--udp-idle", "25", "--frames", "2",
+         "--n-azimuth", "128", "--cpu", "--out", str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    stop = threading.Event()
+
+    def feeder():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        while not stop.is_set():
+            for p in pkts:
+                tx.sendto(p.tobytes(), ("127.0.0.1", port))
+                time.sleep(0.002)
+        tx.close()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    try:
+        stdout, _ = proc.communicate(timeout=540)
+    finally:
+        stop.set()
+        proc.kill()
+    assert proc.returncode == 0, stdout[-2000:]
+    assert "frame    1" in stdout
+    assert len(out.read_text().strip().splitlines()) == 2

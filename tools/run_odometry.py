@@ -21,6 +21,27 @@ import sys
 import time
 
 
+class _UdpSweepIter:
+    """Iterates live sweeps off a UdpCapture until a frame cap or idle
+    timeout (the reference main loop's `capture.isRun()` + retrieve poll,
+    odometry_test.cpp:122-132)."""
+
+    def __init__(self, cap, max_frames: int, idle_timeout: float):
+        self.cap, self.max_frames, self.idle = cap, max_frames, idle_timeout
+
+    def __iter__(self):
+        import time as _time
+
+        n = 0
+        while n < self.max_frames and self.cap.is_run():
+            sw = self.cap.retrieve(timeout=self.idle)
+            if sw is None:
+                break
+            yield sw
+            n += 1
+        self.cap.close()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("pcap", nargs="?", help="Velodyne PCAP capture")
@@ -42,6 +63,11 @@ def main() -> int:
     ap.add_argument("--checkpoint", help="save final SLAM state to this dir")
     ap.add_argument("--resume", help="resume from a checkpoint dir (map, "
                     "reference frame, pose and prior trajectory carry over)")
+    ap.add_argument("--udp", type=int, default=0, metavar="PORT",
+                    help="live capture: listen for Velodyne packets on this "
+                         "UDP port instead of reading a PCAP")
+    ap.add_argument("--udp-idle", type=float, default=5.0,
+                    help="stop live capture after this many idle seconds")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -78,14 +104,23 @@ def main() -> int:
         match=dataclasses.replace(cfg.match, run_icp=not args.no_icp),
     )
 
-    if args.synthetic:
+    if args.udp:
+        # Live sensor ingest (reference: VelodyneCapture.h:315-408 capture
+        # thread over a UDP socket); stream sweeps until --frames or idle.
+        from bshot_slam_tpu.io.udp import UdpCapture
+
+        cap = UdpCapture(cfg.sensor, port=args.udp)
+        print(f"listening for Velodyne packets on UDP :{cap.port}")
+        sweeps = _UdpSweepIter(cap, args.frames or 10**9,
+                               idle_timeout=args.udp_idle)
+    elif args.synthetic:
         sweeps, _ = synthetic.render_sequence(
             args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=20.0, seed=0,
             n_firings=cfg.sensor.n_azimuth,
         )
     else:
         if not args.pcap:
-            ap.error("provide a PCAP path or --synthetic N")
+            ap.error("provide a PCAP path, --synthetic N, or --udp PORT")
         from bshot_slam_tpu.io import native_decoder
 
         sweeps = None
@@ -100,7 +135,7 @@ def main() -> int:
         if not sweeps:
             print("no complete sweeps found", file=sys.stderr)
             return 1
-    if args.frames:
+    if args.frames and not args.udp:  # the UDP iterator caps itself
         sweeps = sweeps[: args.frames]
 
     eng = SlamEngine(cfg)
