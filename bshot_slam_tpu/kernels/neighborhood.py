@@ -27,11 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes: Tq sublanes x Tr lanes of the pair matrix; feature width F
-# is padded to a lane multiple by callers.  With AABB pruning skipping the
-# far tile pairs, per-grid-step overhead (~1-2us) dominates, so tiles are
-# as large as VMEM allows: at (1024, 2048) a 49k-point sweep is ~600
-# invocations, with the (TQ, TR) pair tile at 8 MB VMEM.
-TQ = 1024
+# is padded to a lane multiple by callers.  Large tiles amortize per-grid-
+# step overhead, but the fused elementwise pipeline needs several (TQ, TR)
+# f32 buffers live at once: (512, 2048) is the largest shape that compiles
+# within the 16 MB scoped-VMEM limit at every cloud bucket (1024x2048
+# OOMs at the 32768 bucket; verified empirically on v5e).
+TQ = 512
 TR = 2048
 
 

@@ -114,7 +114,7 @@ def main() -> int:
         sweeps = _UdpSweepIter(cap, args.frames or 10**9,
                                idle_timeout=args.udp_idle)
     elif args.synthetic:
-        sweeps, _ = synthetic.render_sequence(
+        sweeps, gt_poses = synthetic.render_sequence(
             args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=20.0, seed=0,
             n_firings=cfg.sensor.n_azimuth,
         )
@@ -186,6 +186,10 @@ def main() -> int:
     if args.gold:
         gold = traj_io.load_xyz(args.gold)
         print(f"ATE RMSE vs {args.gold}: {ate_rmse(eng.trajectory, gold):.1f} mm")
+    if args.synthetic and not args.resume and n:
+        gt = np.asarray(gt_poses)[:n, :3, 3]
+        print(f"ATE RMSE vs synthetic ground truth: "
+              f"{ate_rmse(eng.trajectory, gt):.1f} mm")
     if args.checkpoint:
         from bshot_slam_tpu.checkpoint import load_state, save_state
 
