@@ -68,6 +68,10 @@ def main() -> int:
                          "UDP port instead of reading a PCAP")
     ap.add_argument("--udp-idle", type=float, default=5.0,
                     help="stop live capture after this many idle seconds")
+    ap.add_argument("--backend", action="store_true",
+                    help="enable keyframes + B-SHOT loop closure + pose-"
+                         "graph optimization (capability beyond the "
+                         "reference; g2o there is linked but never called)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -138,7 +142,7 @@ def main() -> int:
     if args.frames and not args.udp:  # the UDP iterator caps itself
         sweeps = sweeps[: args.frames]
 
-    eng = SlamEngine(cfg)
+    eng = SlamEngine(cfg, enable_backend=args.backend)
     prior_traj = None
     if args.resume:
         from bshot_slam_tpu.checkpoint import load_state
@@ -190,6 +194,17 @@ def main() -> int:
         gt = np.asarray(gt_poses)[:n, :3, 3]
         print(f"ATE RMSE vs synthetic ground truth: "
               f"{ate_rmse(eng.trajectory, gt):.1f} mm")
+    if args.backend:
+        kf_poses, edges = eng.optimize_backend()
+        kf_idx = np.asarray(eng.keyframes.frame_idx[: len(kf_poses)])
+        print(f"backend: {len(kf_poses)} keyframes, "
+              f"{len(edges)} loop closures; pose graph optimized")
+        if args.synthetic and not args.resume and n:
+            gt_kf = np.asarray(gt_poses)[kf_idx, :3, 3]
+            opt_ate = ate_rmse(kf_poses[:, :3, 3], gt_kf)
+            raw_ate = ate_rmse(eng.poses[kf_idx][:, :3, 3], gt_kf)
+            print(f"keyframe ATE RMSE: raw={raw_ate:.1f} mm "
+                  f"optimized={opt_ate:.1f} mm")
     if args.checkpoint:
         from bshot_slam_tpu.checkpoint import load_state, save_state
 
