@@ -68,6 +68,10 @@ def main() -> int:
                          "UDP port instead of reading a PCAP")
     ap.add_argument("--udp-idle", type=float, default=5.0,
                     help="stop live capture after this many idle seconds")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the frame loop to "
+                         "DIR (view with xprof/tensorboard; the TPU "
+                         "equivalent of the reference's TicToc prints)")
     ap.add_argument("--backend", action="store_true",
                     help="enable keyframes + B-SHOT loop closure + pose-"
                          "graph optimization (capability beyond the "
@@ -151,6 +155,13 @@ def main() -> int:
         prior_traj = prior_poses[:, :3, 3] if len(prior_poses) else None
         print(f"resumed from {args.resume}: map={int(eng.state.map.cursor)} "
               f"frame_idx={int(eng.state.frame_idx)}")
+    import contextlib
+
+    from bshot_slam_tpu.utils.profiling import trace
+
+    prof = contextlib.ExitStack()
+    if args.profile:
+        prof.enter_context(trace(args.profile))
     t_start = time.perf_counter()
     for i, sw in enumerate(sweeps):
         t0 = time.perf_counter()
@@ -167,6 +178,9 @@ def main() -> int:
             m, s, md = rec.corr_stats
             print(f"      corr dist mm: mean={m:.1f} sd={s:.1f} median={md:.1f}")
     total = time.perf_counter() - t_start
+    prof.close()
+    if args.profile:
+        print(f"profiler trace -> {args.profile}")
     n = len(eng.records)
     print(f"{n} frames in {total:.1f}s ({n / total:.2f} fps incl. compile)")
     if args.eval_corr and n > 1:
