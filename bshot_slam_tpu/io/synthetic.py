@@ -54,10 +54,15 @@ def default_scene(seed: int = 0, n_buildings: int = 14, n_poles: int = 24,
         w = rng.uniform(4_000, 12_000)
         d = rng.uniform(4_000, 12_000)
         h = rng.uniform(3_000, 15_000)
-        x0 = rng.uniform(6_000, extent_mm) * (1 if side else -1)
+        # Near facade at >= 6 m from the corridor centerline on either
+        # side; the box must extend AWAY from the corridor (a signed x0
+        # with +w used to let left-side buildings straddle x=0, putting
+        # the sensor inside a box mid-sequence — every ray then hits the
+        # interior and preprocessing/odometry degrade into nonsense).
+        near = rng.uniform(6_000, extent_mm)
+        x_lo, x_hi = (near, near + w) if side else (-near - w, -near)
         y0 = rng.uniform(-extent_mm, extent_mm * 2)
-        boxes.append(Box((min(x0, x0 + w), y0, 0.0),
-                         (max(x0, x0 + w), y0 + d, h)))
+        boxes.append(Box((x_lo, y0, 0.0), (x_hi, y0 + d, h)))
     for _ in range(n_poles):
         x0 = rng.uniform(3_000, 5_500) * (1 if rng.integers(0, 2) else -1)
         y0 = rng.uniform(-extent_mm, extent_mm * 2)

@@ -204,17 +204,19 @@ def main() -> int:
     if args.gold:
         gold = traj_io.load_xyz(args.gold)
         print(f"ATE RMSE vs {args.gold}: {ate_rmse(eng.trajectory, gold):.1f} mm")
+    gt_rel = None
     if args.synthetic and not args.resume and n:
-        gt = np.asarray(gt_poses)[:n, :3, 3]
+        # SLAM's world frame is the first sensor pose.
+        gt_rel = np.linalg.inv(gt_poses[0])[None] @ np.asarray(gt_poses)[:n]
         print(f"ATE RMSE vs synthetic ground truth: "
-              f"{ate_rmse(eng.trajectory, gt):.1f} mm")
+              f"{ate_rmse(eng.trajectory, gt_rel[:, :3, 3]):.1f} mm")
     if args.backend:
         kf_poses, edges = eng.optimize_backend()
         kf_idx = np.asarray(eng.keyframes.frame_idx[: len(kf_poses)])
         print(f"backend: {len(kf_poses)} keyframes, "
               f"{len(edges)} loop closures; pose graph optimized")
-        if args.synthetic and not args.resume and n:
-            gt_kf = np.asarray(gt_poses)[kf_idx, :3, 3]
+        if gt_rel is not None:
+            gt_kf = gt_rel[kf_idx, :3, 3]
             opt_ate = ate_rmse(kf_poses[:, :3, 3], gt_kf)
             raw_ate = ate_rmse(eng.poses[kf_idx][:, :3, 3], gt_kf)
             print(f"keyframe ATE RMSE: raw={raw_ate:.1f} mm "
