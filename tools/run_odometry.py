@@ -68,6 +68,9 @@ def main() -> int:
                          "UDP port instead of reading a PCAP")
     ap.add_argument("--udp-idle", type=float, default=5.0,
                     help="stop live capture after this many idle seconds")
+    ap.add_argument("--yaw-rate", type=float, default=0.0,
+                    help="synthetic: constant yaw per frame (rad); e.g. "
+                         "2*pi/N drives a closed loop in N frames")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the frame loop to "
                          "DIR (view with xprof/tensorboard; the TPU "
@@ -124,7 +127,7 @@ def main() -> int:
     elif args.synthetic:
         sweeps, gt_poses = synthetic.render_sequence(
             args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=20.0, seed=0,
-            n_firings=cfg.sensor.n_azimuth,
+            yaw_rate_rad=args.yaw_rate, n_firings=cfg.sensor.n_azimuth,
         )
     else:
         if not args.pcap:
