@@ -69,7 +69,14 @@ def main(n_frames: int = 12, warmup: int = 2) -> None:
         pts, pmask = clouds[i % len(clouds)]
         return pipeline.odometry_step(state, pts, pmask, key, cfg, tile)
 
+    # Start the map at the smallest capacity bucket, like the engine does
+    # (12 frames insert ~2k keypoints, far below the first bucket).
+    from bshot_slam_tpu.odometry import mapstore
+
     state = pipeline.init_state(cfg)
+    state = state._replace(
+        map=mapstore.init_map(cfg.map, min(cfg.runtime.map_buckets))
+    )
     key = jax.random.PRNGKey(0)
 
     # Warm every distinct cloud shape so the timed loop never compiles.

@@ -219,6 +219,11 @@ class RuntimeConfig:
     # O(N^2) neighborhood grids scale with the live cloud instead of
     # max_points.  One XLA compile per bucket actually used.
     cloud_buckets: Tuple[int, ...] = (8192, 16384, 32768, 49152)
+    # Map-capacity ladder: the engine starts the global map at the first
+    # bucket and zero-pads (recompiling a wider step) when the cursor
+    # approaches capacity, so matching/ICP/dedup grids track the map that
+    # actually exists instead of MapConfig.capacity.
+    map_buckets: Tuple[int, ...] = (16384, 32768, 65536, 131072)
     # dtype used for MXU Hamming/distance matmuls.
     matmul_dtype: str = "bfloat16"
     # Mesh axis names for the multi-chip path.

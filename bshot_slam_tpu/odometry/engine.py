@@ -20,7 +20,7 @@ import numpy as np
 
 from bshot_slam_tpu.config import SlamConfig
 from bshot_slam_tpu.io.velodyne import LaserSweep
-from bshot_slam_tpu.odometry import pipeline
+from bshot_slam_tpu.odometry import mapstore, pipeline
 from bshot_slam_tpu.ops import preprocess as pp
 from bshot_slam_tpu.ops.rangeimage import build_range_image
 
@@ -59,6 +59,13 @@ class SlamEngine:
         self.cfg = cfg
         self.tile = tile
         self.state = pipeline.init_state(cfg)
+        # Start the map at the smallest capacity bucket; _maybe_grow_map
+        # widens it (one recompile per bucket) as the map fills.
+        first = min(
+            [b for b in cfg.runtime.map_buckets if b <= cfg.map.capacity]
+            or [cfg.map.capacity]
+        )
+        self.state = self.state._replace(map=mapstore.init_map(cfg.map, first))
         self.key = jax.random.PRNGKey(seed)
         self.records: List[FrameRecord] = []
         self.enable_backend = enable_backend
@@ -102,6 +109,7 @@ class SlamEngine:
         return self.process_cloud(points, pmask)
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray) -> FrameRecord:
+        self._maybe_grow_map()
         self.key, sub = jax.random.split(self.key)
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
@@ -123,6 +131,22 @@ class SlamEngine:
         self.records.append(rec)
         return rec
 
+    def _maybe_grow_map(self) -> None:
+        """Pad the map to the next capacity bucket when this frame's insert
+        could overflow it (map ops scale with live capacity, so starting
+        small and growing keeps matching/ICP/dedup grids minimal)."""
+        cap = self.state.map.positions.shape[0]
+        need = int(self.state.map.cursor) + self.cfg.keypoints.top_k
+        if need <= cap:
+            return
+        hard_cap = self.cfg.map.capacity
+        for b in sorted(set(self.cfg.runtime.map_buckets) | {hard_cap}):
+            if b >= min(need, hard_cap) and b <= hard_cap and b > cap:
+                self.state = self.state._replace(
+                    map=mapstore.grow_map(self.state.map, b)
+                )
+                return
+
     def _maybe_keyframe(self, diag, rec: FrameRecord) -> None:
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
@@ -132,8 +156,9 @@ class SlamEngine:
             self._frames_since_kf += 1
             return
         # Landmark observations: inlier matches whose candidate index falls
-        # inside the map capacity (the rest matched the previous frame).
-        cap = self.cfg.map.capacity
+        # inside the map capacity at step time (the rest matched the
+        # previous frame's keypoint block appended after it).
+        cap = self.state.map.positions.shape[0]
         obs_lm = jnp.where(
             diag.corr_inlier & (diag.corr_index < cap), diag.corr_index, -1
         )

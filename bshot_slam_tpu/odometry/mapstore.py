@@ -49,8 +49,8 @@ class MapState(NamedTuple):
     cursor: jnp.ndarray  # () int32 next free slot
 
 
-def init_map(cfg: MapConfig) -> MapState:
-    C = cfg.capacity
+def init_map(cfg: MapConfig, capacity: int | None = None) -> MapState:
+    C = capacity if capacity is not None else cfg.capacity
     return MapState(
         positions=jnp.zeros((C, 3), jnp.float32),
         descriptors=jnp.zeros((C, 11), jnp.uint32),
@@ -58,6 +58,30 @@ def init_map(cfg: MapConfig) -> MapState:
         blocks=jnp.zeros((C, 3), jnp.int32),
         valid=jnp.zeros((C,), bool),
         cursor=jnp.zeros((), jnp.int32),
+    )
+
+
+def grow_map(state: MapState, new_capacity: int) -> MapState:
+    """Zero-pad every map array to a larger capacity (host-boundary op;
+    every in-step kernel derives the capacity from array shapes, so the
+    grown state simply compiles a wider step)."""
+    C = state.positions.shape[0]
+    if new_capacity <= C:
+        return state
+    p = new_capacity - C
+
+    def pad(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((p,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    return MapState(
+        positions=pad(state.positions),
+        descriptors=pad(state.descriptors),
+        seg_ratios=pad(state.seg_ratios),
+        blocks=pad(state.blocks),
+        valid=pad(state.valid),
+        cursor=state.cursor,
     )
 
 

@@ -117,3 +117,32 @@ def test_masked_rows_never_insert():
     state = ms.init_map(CFG)
     state = _insert(state, [[1000.0, 0, 0], [2000.0, 0, 0]], mask=[True, False])
     assert int(ms.map_size(state)) == 1
+
+
+def test_grow_map_preserves_entries():
+    """Engine map growth: padding to a wider bucket keeps every entry and
+    the step result (the capacity only bounds the scan grids)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bshot_slam_tpu.config import tiny_config
+    from bshot_slam_tpu.odometry import mapstore, pipeline
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(5)
+    st = mapstore.init_map(cfg.map, 1024)
+    K = 64
+    pos = jnp.asarray(rng.uniform(-2e4, 2e4, (K, 3)).astype(np.float32))
+    desc = jnp.asarray(rng.integers(0, 2**32, (K, 11), dtype=np.uint32))
+    seg = jnp.asarray(rng.uniform(0, 1, K).astype(np.float32))
+    st = mapstore.insert_keypoints(st, pos, desc, seg, jnp.ones(K, bool),
+                                   cfg.map)
+    grown = mapstore.grow_map(st, 2048)
+    assert grown.positions.shape[0] == 2048
+    assert int(grown.cursor) == int(st.cursor)
+    n = int(st.cursor)
+    np.testing.assert_array_equal(np.asarray(grown.positions[:n]),
+                                  np.asarray(st.positions[:n]))
+    np.testing.assert_array_equal(np.asarray(grown.valid[:n]),
+                                  np.asarray(st.valid[:n]))
+    assert not np.asarray(grown.valid[n:]).any()
