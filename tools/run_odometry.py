@@ -79,6 +79,10 @@ def main() -> int:
                     help="enable keyframes + B-SHOT loop closure + pose-"
                          "graph optimization (capability beyond the "
                          "reference; g2o there is linked but never called)")
+    ap.add_argument("--ba", action="store_true",
+                    help="with --backend: bundle-adjust keyframe poses + "
+                         "map landmarks over the odometry inlier "
+                         "observations after the run")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -224,6 +228,19 @@ def main() -> int:
             raw_ate = ate_rmse(eng.poses[kf_idx][:, :3, 3], gt_kf)
             print(f"keyframe ATE RMSE: raw={raw_ate:.1f} mm "
                   f"optimized={opt_ate:.1f} mm")
+        if args.ba:
+            from bshot_slam_tpu.backend.ba import ba_solve
+
+            prob = eng.build_ba_problem()
+            n_obs = int(np.asarray(prob.obs_mask).sum())
+            if n_obs:
+                res = ba_solve(prob, gn_iterations=8)
+                print(f"BA: {prob.poses.shape[0]} keyframes, "
+                      f"{prob.landmarks.shape[0]} landmarks, {n_obs} obs; "
+                      f"cost {float(res.initial_cost):.1f} -> "
+                      f"{float(res.final_cost):.1f}")
+            else:
+                print("BA: no landmark observations recorded")
     if args.checkpoint:
         from bshot_slam_tpu.checkpoint import load_state, save_state
 
