@@ -179,7 +179,9 @@ class SlamEngine:
 
         n = int(self.keyframes.count)
         if n < 2:
-            return self.poses, []
+            # Degenerate graph: nothing to optimize; return only the real
+            # keyframe poses (0 or 1) so callers can slice frame_idx safely.
+            return np.asarray(self.keyframes.poses[:n]), []
         self.key, sub = jax.random.split(self.key)
         edges = loop_closure.find_loop_closures(self.keyframes, self.cfg, sub,
                                                 max_candidates)

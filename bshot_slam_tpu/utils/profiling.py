@@ -66,18 +66,35 @@ def trace(logdir: str = "/tmp/bshot_slam_trace"):
         jax.profiler.stop_trace()
 
 
+def default_compile_cache_dir() -> str:
+    """Cache dir resolution: $BSHOT_SLAM_JAX_CACHE, else <repo>/.jax_cache when
+    the package sits in a writable checkout, else ~/.cache/bshot_slam_jax."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("BSHOT_SLAM_JAX_CACHE")
+    if env:
+        return env
+    repo = Path(__file__).resolve().parents[2]
+    if os.access(repo, os.W_OK):
+        return str(repo / ".jax_cache")
+    return str(Path.home() / ".cache" / "bshot_slam_jax")
+
+
 def enable_persistent_compile_cache(
-    path: str = "/root/repo/.jax_cache", min_compile_secs: float = 1.0
+    path: str | None = None, min_compile_secs: float = 1.0
 ) -> None:
-    """Point JAX's persistent compilation cache at a repo-local directory so
+    """Point JAX's persistent compilation cache at a local directory so
     repeat CLI/bench invocations skip the 10-40 s first-compile of the big
     fused steps.  Safe to call multiple times; no-op if already configured."""
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_compilation_cache_dir", path or default_compile_cache_dir()
+        )
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_compile_secs
         )
-    except Exception:
+    except AttributeError:
         pass  # older jax without the flags: cache is an optimization only

@@ -4,7 +4,7 @@ import numpy as np
 
 from bshot_slam_tpu.geometry import se3
 from bshot_slam_tpu.ops.icp import icp_point_to_point
-from bshot_slam_tpu.ops.ransac import ransac_rigid
+from bshot_slam_tpu.ops.ransac import ransac_rigid, sample_distinct_triples
 
 
 def _rigid(rng, max_angle=0.4, max_t=1500.0):
@@ -44,6 +44,42 @@ def test_ransac_with_outliers(rng):
     assert ang < 1.0, ang
     # padded correspondences must never be inliers
     assert not np.asarray(res.inliers)[n:].any()
+
+
+def test_ransac_sampling_distinct_and_uniform():
+    # No duplicate indices within any triple, full range coverage
+    # (PCL parity: sampling without replacement, lidar_odometry.cpp:255-261).
+    for n in (3, 4, 7, 100):
+        draw = np.asarray(
+            sample_distinct_triples(jax.random.PRNGKey(n), jnp.int32(n), 4096)
+        )
+        assert draw.min() >= 0 and draw.max() < n
+        assert (draw[:, 0] != draw[:, 1]).all()
+        assert (draw[:, 0] != draw[:, 2]).all()
+        assert (draw[:, 1] != draw[:, 2]).all()
+        # Every index appears (uniformity smoke test).
+        assert len(np.unique(draw)) == n
+
+
+def test_ransac_distinct_sampling_not_worse(rng):
+    # Equal iteration budget: distinct-triple sampling must find at least as
+    # many inliers as the ground-truth inlier count would allow, even in a
+    # tiny candidate set where with-replacement draws waste many hypotheses.
+    T_true = _rigid(rng)
+    K = 32
+    src = np.zeros((K, 3), np.float32)
+    dst = np.zeros((K, 3), np.float32)
+    cmask = np.zeros(K, bool)
+    n = 8  # small valid set: with replacement ~33% of triples are degenerate
+    pts = rng.uniform(-20000, 20000, (n, 3)).astype(np.float32)
+    src[:n] = pts
+    dst[:n] = (T_true[:3, :3] @ pts.T).T + T_true[:3, 3]
+    cmask[:n] = True
+    res = ransac_rigid(
+        jax.random.PRNGKey(3), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(cmask), inlier_threshold=1500.0, iterations=64,
+    )
+    assert int(res.n_inliers) == n
 
 
 def test_ransac_too_few_correspondences():

@@ -30,16 +30,18 @@ class _UdpSweepIter:
         self.cap, self.max_frames, self.idle = cap, max_frames, idle_timeout
 
     def __iter__(self):
-        import time as _time
-
-        n = 0
-        while n < self.max_frames and self.cap.is_run():
-            sw = self.cap.retrieve(timeout=self.idle)
-            if sw is None:
-                break
-            yield sw
-            n += 1
-        self.cap.close()
+        try:
+            n = 0
+            while n < self.max_frames and self.cap.is_run():
+                sw = self.cap.retrieve(timeout=self.idle)
+                if sw is None:
+                    break
+                yield sw
+                n += 1
+        finally:
+            # Always release the socket + capture thread, even when the
+            # consumer raises or stops iterating early.
+            self.cap.close()
 
 
 def main() -> int:
@@ -202,15 +204,17 @@ def main() -> int:
             f"inliers mean={np.mean([r.n_inliers for r in eng.records[1:]]):.1f}"
         )
 
+    full_traj = eng.trajectory
+    if prior_traj is not None:
+        # Resumed runs compare/save the full prior+new trajectory so --gold
+        # aligns frame 0 of the gold file with the true frame 0.
+        full_traj = np.concatenate([prior_traj, full_traj], axis=0)
     if args.out:
-        traj = eng.trajectory
-        if prior_traj is not None:
-            traj = np.concatenate([prior_traj, traj], axis=0)
-        traj_io.save_xyz(args.out, traj)
+        traj_io.save_xyz(args.out, full_traj)
         print(f"trajectory -> {args.out}")
     if args.gold:
         gold = traj_io.load_xyz(args.gold)
-        print(f"ATE RMSE vs {args.gold}: {ate_rmse(eng.trajectory, gold):.1f} mm")
+        print(f"ATE RMSE vs {args.gold}: {ate_rmse(full_traj, gold):.1f} mm")
     gt_rel = None
     if args.synthetic and not args.resume and n:
         # SLAM's world frame is the first sensor pose.
@@ -219,10 +223,11 @@ def main() -> int:
               f"{ate_rmse(eng.trajectory, gt_rel[:, :3, 3]):.1f} mm")
     if args.backend:
         kf_poses, edges = eng.optimize_backend()
-        kf_idx = np.asarray(eng.keyframes.frame_idx[: len(kf_poses)])
-        print(f"backend: {len(kf_poses)} keyframes, "
+        n_kf = int(eng.keyframes.count)
+        kf_idx = np.asarray(eng.keyframes.frame_idx[:n_kf])
+        print(f"backend: {n_kf} keyframes, "
               f"{len(edges)} loop closures; pose graph optimized")
-        if gt_rel is not None:
+        if gt_rel is not None and n_kf >= 2:
             gt_kf = gt_rel[kf_idx, :3, 3]
             opt_ate = ate_rmse(kf_poses[:, :3, 3], gt_kf)
             raw_ate = ate_rmse(eng.poses[kf_idx][:, :3, 3], gt_kf)
