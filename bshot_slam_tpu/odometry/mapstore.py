@@ -47,6 +47,15 @@ class MapState(NamedTuple):
     blocks: jnp.ndarray  # (C, 3) int32 voxel-block coords
     valid: jnp.ndarray  # (C,) bool
     cursor: jnp.ndarray  # () int32 next free slot
+    # Provenance for backend corrections: the frame index whose pose placed
+    # each landmark in the world (-1 for empty rows).  When the pose graph
+    # corrects keyframe poses, landmarks are re-anchored by the correction
+    # of the trajectory segment that inserted them (no reference
+    # counterpart: the reference map is never corrected).
+    frame_born: jnp.ndarray  # (C,) int32
+    # Insertions dropped because the map was at capacity (saturation
+    # observability; the reference grows unboundedly, mymap.cpp:4-26).
+    n_dropped: jnp.ndarray  # () int32
 
 
 def init_map(cfg: MapConfig, capacity: int | None = None) -> MapState:
@@ -58,6 +67,8 @@ def init_map(cfg: MapConfig, capacity: int | None = None) -> MapState:
         blocks=jnp.zeros((C, 3), jnp.int32),
         valid=jnp.zeros((C,), bool),
         cursor=jnp.zeros((), jnp.int32),
+        frame_born=jnp.full((C,), -1, jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -82,6 +93,10 @@ def grow_map(state: MapState, new_capacity: int) -> MapState:
         blocks=pad(state.blocks),
         valid=pad(state.valid),
         cursor=state.cursor,
+        frame_born=jnp.concatenate(
+            [state.frame_born, jnp.full((p,), -1, jnp.int32)]
+        ),
+        n_dropped=state.n_dropped,
     )
 
 
