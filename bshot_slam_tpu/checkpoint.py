@@ -19,7 +19,9 @@ import numpy as np
 from bshot_slam_tpu.odometry.mapstore import MapState
 from bshot_slam_tpu.odometry.pipeline import FrameFeatures, OdometryState
 
-_FORMAT_VERSION = 1
+# v2 adds map_frame_born / map_n_dropped (MapState provenance + saturation
+# fields); v1 checkpoints load with frame_born=-1, n_dropped=0 defaults.
+_FORMAT_VERSION = 2
 
 
 def save_state(path: str, state: OdometryState, poses: np.ndarray) -> None:
@@ -34,6 +36,8 @@ def save_state(path: str, state: OdometryState, poses: np.ndarray) -> None:
         map_blocks=np.asarray(state.map.blocks),
         map_valid=np.asarray(state.map.valid),
         map_cursor=np.asarray(state.map.cursor),
+        map_frame_born=np.asarray(state.map.frame_born),
+        map_n_dropped=np.asarray(state.map.n_dropped),
         ref_keypoints=np.asarray(state.ref.keypoints),
         ref_scores=np.asarray(state.ref.scores),
         ref_descriptors=np.asarray(state.ref.descriptors),
@@ -47,8 +51,18 @@ def save_state(path: str, state: OdometryState, poses: np.ndarray) -> None:
 def load_state(path: str) -> Tuple[OdometryState, np.ndarray]:
     """Read back (OdometryState, poses). Raises on version mismatch."""
     with np.load(os.path.join(path, "slam_state.npz")) as z:
-        if int(z["version"]) != _FORMAT_VERSION:
-            raise ValueError(f"unsupported checkpoint version {z['version']}")
+        version = int(z["version"])
+        if version not in (1, 2):
+            raise ValueError(f"unsupported checkpoint version {version}")
+        C = z["map_positions"].shape[0]
+        frame_born = (
+            jnp.asarray(z["map_frame_born"]) if version >= 2
+            else jnp.full((C,), -1, jnp.int32)
+        )
+        n_dropped = (
+            jnp.asarray(z["map_n_dropped"]) if version >= 2
+            else jnp.zeros((), jnp.int32)
+        )
         state = OdometryState(
             map=MapState(
                 positions=jnp.asarray(z["map_positions"]),
@@ -57,6 +71,8 @@ def load_state(path: str) -> Tuple[OdometryState, np.ndarray]:
                 blocks=jnp.asarray(z["map_blocks"]),
                 valid=jnp.asarray(z["map_valid"]),
                 cursor=jnp.asarray(z["map_cursor"]),
+                frame_born=frame_born,
+                n_dropped=n_dropped,
             ),
             ref=FrameFeatures(
                 keypoints=jnp.asarray(z["ref_keypoints"]),

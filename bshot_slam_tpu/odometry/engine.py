@@ -46,6 +46,8 @@ class FrameRecord:
     # (mean, SD, median) inlier correspondence distance in mm
     # (reference: lidar_odometry.cpp:304-330)
     corr_stats: np.ndarray
+    # Cumulative keypoints lost to the map capacity ceiling as of this frame
+    n_dropped: int = 0
 
 
 class SlamEngine:
@@ -73,6 +75,7 @@ class SlamEngine:
         self._last_kf_pose = np.eye(4, dtype=np.float32)
         self._frames_since_kf = 10**9  # force a keyframe on frame 0
         self.optimized_keyframe_poses: np.ndarray | None = None
+        self._warned_drop = False
 
     def process_sweep(self, sweep: LaserSweep,
                       selected: Optional[np.ndarray] = None) -> FrameRecord:
@@ -125,7 +128,18 @@ class SlamEngine:
             map_size=int(pk[21]),
             icp_rmse=float(pk[22]),
             corr_stats=pk[23:26].copy(),
+            n_dropped=int(pk[26]),
         )
+        if rec.n_dropped > 0 and not self._warned_drop:
+            self._warned_drop = True
+            import warnings
+
+            warnings.warn(
+                f"map capacity {self.cfg.map.capacity} saturated at frame "
+                f"{len(self.records)}: {rec.n_dropped} keypoint(s) dropped "
+                "(raise MapConfig.capacity or rely on eviction)",
+                stacklevel=2,
+            )
         if self.enable_backend:
             self._maybe_keyframe(diag, rec)
         self.records.append(rec)

@@ -118,8 +118,10 @@ def insert_keypoints(
     seg: jnp.ndarray,  # (K,)
     kmask: jnp.ndarray,  # (K,)
     cfg: MapConfig,
+    frame_idx: jnp.ndarray | int = -1,  # () int32 provenance for frame_born
 ) -> MapState:
     """Batched equivalent of K sequential `Map::addKeypoint` calls."""
+    fidx = jnp.asarray(frame_idx, jnp.int32)
     pos = snap_positions(pos, cfg.snap_mm)
     blk = block_coords(pos, cfg.block_size_mm)
     r2 = cfg.dedup_radius_mm * cfg.dedup_radius_mm
@@ -180,6 +182,13 @@ def insert_keypoints(
         cursor=jnp.minimum(
             state.cursor + jnp.sum(ok.astype(jnp.int32)), C
         ).astype(jnp.int32),
+        frame_born=state.frame_born.at[tgt].set(
+            jnp.broadcast_to(fidx, tgt.shape), mode="drop"
+        ),
+        # Accepted-but-out-of-capacity keypoints are lost: count them.
+        n_dropped=state.n_dropped
+        + jnp.sum(accept.astype(jnp.int32))
+        - jnp.sum(ok.astype(jnp.int32)),
     )
     return new_state
 

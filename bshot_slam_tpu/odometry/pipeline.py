@@ -75,10 +75,14 @@ class StepDiagnostics(NamedTuple):
     corr_index: jnp.ndarray  # (K,) int32
     corr_inlier: jnp.ndarray  # (K,) bool
     features: "FrameFeatures"  # this frame's features (for keyframing)
-    # All host-facing scalars flattened into one (26,) float32 vector
+    # Cumulative keypoints dropped at the capacity ceiling (saturation
+    # observability; the reference map grows unboundedly, mymap.cpp:4-26).
+    n_dropped: jnp.ndarray
+    # All host-facing scalars flattened into one (27,) float32 vector
     # [pose(16), n_mutual, n_inliers, gated, h_diff, t_diff, map_size,
-    # icp_rmse, corr_stats(3)] so drivers fetch per-frame diagnostics in a
-    # single device->host transfer (one RPC on remoted backends).
+    # icp_rmse, corr_stats(3), n_dropped] so drivers fetch per-frame
+    # diagnostics in a single device->host transfer (one RPC on remoted
+    # backends).
     packed: jnp.ndarray
 
 
@@ -272,7 +276,8 @@ def odometry_step(
     # keypoints by the accepted pose and insert all of them.
     world_kp = se3.apply(T_best, src.keypoints)
     new_map = mapstore.insert_keypoints(
-        state.map, world_kp, src.descriptors, src.scores, src.mask, cfg.map
+        state.map, world_kp, src.descriptors, src.scores, src.mask, cfg.map,
+        frame_idx=state.frame_idx,
     )
 
     new_state = OdometryState(
@@ -294,6 +299,7 @@ def odometry_step(
             icp_rmse,
         ]),
         corr_stats,
+        new_map.n_dropped.astype(jnp.float32)[None],
     ])
     diag = StepDiagnostics(
         pose=T_best,
@@ -308,6 +314,7 @@ def odometry_step(
         corr_index=matches.src_to_ref.astype(jnp.int32),
         corr_inlier=rr.inliers & ~is_initial,
         features=src,
+        n_dropped=new_map.n_dropped,
         packed=packed,
     )
     return new_state, diag

@@ -62,6 +62,8 @@ def state_shardings(mesh: Mesh) -> OdometryState:
         blocks=ns(P("map", None)),
         valid=ns(P("map")),
         cursor=ns(P()),
+        frame_born=ns(P("map")),
+        n_dropped=ns(P()),
     )
     ref_spec = FrameFeatures(
         keypoints=ns(P()), scores=ns(P()), descriptors=ns(P()), mask=ns(P()),
