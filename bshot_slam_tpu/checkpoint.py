@@ -84,3 +84,86 @@ def load_state(path: str) -> Tuple[OdometryState, np.ndarray]:
             frame_idx=jnp.asarray(z["frame_idx"]),
         )
         return state, z["poses"]
+
+
+# ---------------------------------------------------------------------------
+# Backend (keyframes + loop edges) checkpointing — the odometry npz above
+# restores the map and reference frame; these restore the pose-graph world
+# so `--resume --backend` is no longer amnesiac.
+
+_BACKEND_VERSION = 1
+
+
+def save_backend(path: str, engine) -> None:
+    """Persist a SlamEngine's KeyframeStore, verified loop edges, and
+    keyframe-policy counters to `path`/backend_state.npz."""
+    os.makedirs(path, exist_ok=True)
+    kf = engine.keyframes
+    edges = getattr(engine, "loop_edges", [])
+    np.savez_compressed(
+        os.path.join(path, "backend_state.npz"),
+        version=_BACKEND_VERSION,
+        kf_poses=np.asarray(kf.poses),
+        kf_keypoints=np.asarray(kf.keypoints),
+        kf_descriptors=np.asarray(kf.descriptors),
+        kf_kp_mask=np.asarray(kf.kp_mask),
+        kf_frame_idx=np.asarray(kf.frame_idx),
+        kf_obs_lm=np.asarray(kf.obs_lm),
+        kf_count=np.asarray(kf.count),
+        edge_i=np.asarray([e.kf_i for e in edges], np.int32),
+        edge_j=np.asarray([e.kf_j for e in edges], np.int32),
+        edge_z=(
+            np.stack([e.z for e in edges]).astype(np.float32)
+            if edges else np.zeros((0, 4, 4), np.float32)
+        ),
+        edge_inliers=np.asarray([e.n_inliers for e in edges], np.int32),
+        edge_rmse=np.asarray([e.rmse_mm for e in edges], np.float32),
+        last_kf_pose=np.asarray(engine._last_kf_pose, np.float32),
+        frames_since_kf=np.asarray(
+            min(engine._frames_since_kf, 2**31 - 1), np.int32
+        ),
+        # Engine PRNG state: restoring it makes the resumed run consume the
+        # exact key sequence of the uninterrupted run (bit-identical RANSAC).
+        rng_key=np.asarray(engine.key),
+    )
+
+
+def load_backend(path: str, engine) -> bool:
+    """Restore the backend state saved by `save_backend` into `engine`.
+    Returns False (engine untouched) when no backend file exists."""
+    import jax.numpy as _jnp
+
+    from bshot_slam_tpu.backend.keyframes import KeyframeStore
+    from bshot_slam_tpu.backend.loop_closure import LoopEdge
+
+    fn = os.path.join(path, "backend_state.npz")
+    if not os.path.exists(fn):
+        return False
+    with np.load(fn) as z:
+        if int(z["version"]) != _BACKEND_VERSION:
+            raise ValueError(
+                f"unsupported backend checkpoint version {z['version']}"
+            )
+        engine.keyframes = KeyframeStore(
+            poses=_jnp.asarray(z["kf_poses"]),
+            keypoints=_jnp.asarray(z["kf_keypoints"]),
+            descriptors=_jnp.asarray(z["kf_descriptors"]),
+            kp_mask=_jnp.asarray(z["kf_kp_mask"]),
+            frame_idx=_jnp.asarray(z["kf_frame_idx"]),
+            obs_lm=_jnp.asarray(z["kf_obs_lm"]),
+            count=_jnp.asarray(z["kf_count"]),
+        )
+        engine.loop_edges = [
+            LoopEdge(
+                kf_i=int(z["edge_i"][k]),
+                kf_j=int(z["edge_j"][k]),
+                z=z["edge_z"][k],
+                n_inliers=int(z["edge_inliers"][k]),
+                rmse_mm=float(z["edge_rmse"][k]),
+            )
+            for k in range(len(z["edge_i"]))
+        ]
+        engine._last_kf_pose = z["last_kf_pose"]
+        engine._frames_since_kf = int(z["frames_since_kf"])
+        engine.key = _jnp.asarray(z["rng_key"])
+    return True

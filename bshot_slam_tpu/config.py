@@ -198,6 +198,17 @@ class BackendConfig:
     lc_min_gap: int = 20
     lc_max_dist_mm: float = 15000.0
     lc_min_inliers: int = 25
+    # Appearance channel: top pairs by keyframe B-SHOT bag-of-words cosine
+    # similarity (drift-immune retrieval; proximity alone cannot fire once
+    # drift exceeds lc_max_dist_mm).
+    lc_appearance_top: int = 4
+    lc_appearance_min_sim: float = 0.35
+    # Pose-graph information weighting (residuals live in meters/radians):
+    # edge weight = (1000 / sigma_mm)^2.  Odometry edges are locally precise;
+    # loop edges take sigma = max(icp_rmse, floor) so a coarse closure can
+    # never out-vote the odometry chain it is meant to gently bend.
+    odom_edge_sigma_mm: float = 50.0
+    lc_sigma_floor_mm: float = 150.0
     # Gauss-Newton / LM.
     gn_iterations: int = 10
     lm_lambda_init: float = 1.0e-4

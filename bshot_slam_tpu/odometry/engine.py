@@ -55,11 +55,15 @@ class SlamEngine:
     keyframe/loop-closure/pose-graph backend (no reference counterpart)."""
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
-                 enable_backend: bool = False):
+                 enable_backend: bool = False, backend_every: int = 0):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
         self.tile = tile
+        # Run loop closure + pose graph + map re-anchoring every N frames
+        # during the run (0 = only when the caller asks), so later frames
+        # match against the corrected map.
+        self.backend_every = backend_every
         self.state = pipeline.init_state(cfg)
         # Start the map at the smallest capacity bucket; _maybe_grow_map
         # widens it (one recompile per bucket) as the map fills.
@@ -75,7 +79,10 @@ class SlamEngine:
         self._last_kf_pose = np.eye(4, dtype=np.float32)
         self._frames_since_kf = 10**9  # force a keyframe on frame 0
         self.optimized_keyframe_poses: np.ndarray | None = None
+        self.loop_edges: list = []  # last verified closures (checkpointed)
         self._warned_drop = False
+        self._warned_evict = False
+        self.n_evicted = 0  # cumulative keypoints evicted at capacity
 
     def process_sweep(self, sweep: LaserSweep,
                       selected: Optional[np.ndarray] = None) -> FrameRecord:
@@ -143,12 +150,23 @@ class SlamEngine:
         if self.enable_backend:
             self._maybe_keyframe(diag, rec)
         self.records.append(rec)
+        if (
+            self.enable_backend
+            and self.backend_every
+            and len(self.records) % self.backend_every == 0
+            and int(self.keyframes.count) >= 2
+        ):
+            self.optimize_backend()
+            self.apply_backend_corrections()
+            rec = self.records[-1]  # pose may have been corrected
         return rec
 
     def _maybe_grow_map(self) -> None:
         """Pad the map to the next capacity bucket when this frame's insert
         could overflow it (map ops scale with live capacity, so starting
-        small and growing keeps matching/ICP/dedup grids minimal)."""
+        small and growing keeps matching/ICP/dedup grids minimal).  At the
+        hard capacity ceiling, evict lowest-seg-ratio-in-densest-block
+        keypoints instead of letting inserts drop silently."""
         cap = self.state.map.positions.shape[0]
         need = int(self.state.map.cursor) + self.cfg.keypoints.top_k
         if need <= cap:
@@ -160,6 +178,26 @@ class SlamEngine:
                     map=mapstore.grow_map(self.state.map, b)
                 )
                 return
+        if need <= hard_cap:
+            return
+        # At the ceiling: make room for this frame (fixed n_evict so the
+        # eviction kernel compiles once).
+        n_evict = min(2 * self.cfg.keypoints.top_k, hard_cap // 2)
+        before = int(self.state.map.cursor)
+        self.state = self.state._replace(
+            map=mapstore.evict_keypoints(self.state.map, n_evict)
+        )
+        evicted = before - int(self.state.map.cursor)
+        self.n_evicted += evicted
+        if evicted and not self._warned_evict:
+            self._warned_evict = True
+            import warnings
+
+            warnings.warn(
+                f"map at hard capacity {hard_cap}: evicting weakest "
+                f"keypoints of the densest blocks ({evicted} this frame)",
+                stacklevel=2,
+            )
 
     def _maybe_keyframe(self, diag, rec: FrameRecord) -> None:
         from bshot_slam_tpu.backend import keyframes as kf_mod
@@ -176,9 +214,13 @@ class SlamEngine:
         obs_lm = jnp.where(
             diag.corr_inlier & (diag.corr_index < cap), diag.corr_index, -1
         )
+        # Absolute frame index (consistent with MapState.frame_born, which
+        # odometry_step stamps with the pre-increment state.frame_idx) —
+        # differs from len(self.records) on resumed runs.
+        abs_frame = int(self.state.frame_idx) - 1
         self.keyframes = kf_mod.add_keyframe(
             self.keyframes, jnp.asarray(rec.pose), diag.features,
-            jnp.asarray(len(self.records)), obs_lm,
+            jnp.asarray(abs_frame), obs_lm,
         )
         self._last_kf_pose = rec.pose
         self._frames_since_kf = 1
@@ -199,21 +241,112 @@ class SlamEngine:
         self.key, sub = jax.random.split(self.key)
         edges = loop_closure.find_loop_closures(self.keyframes, self.cfg, sub,
                                                 max_candidates)
-        kf_poses = jnp.asarray(np.asarray(self.keyframes.poses[:n]))
-        g = posegraph.odometry_edges(kf_poses)
+        self.loop_edges = edges
+        # Pad nodes to a power-of-two bucket (repeating the last pose; the
+        # implied identity chain edges are self-consistent and inert) and
+        # loop edges to a multiple of 4 (mask False), so periodic backend
+        # invocation compiles one solver per bucket, not one per call.
+        kf_np = np.asarray(self.keyframes.poses[:n])
+        bucket = 8
+        while bucket < n:
+            bucket *= 2
+        bucket = min(bucket, max(self.cfg.backend.max_keyframes, n))
+        if bucket > n:
+            kf_np = np.concatenate(
+                [kf_np, np.tile(kf_np[-1], (bucket - n, 1, 1))]
+            )
+        bcfg = self.cfg.backend
+        w_odom = (1000.0 / bcfg.odom_edge_sigma_mm) ** 2
+        g = posegraph.odometry_edges(jnp.asarray(kf_np), weight=w_odom)
         if edges:
+            e_pad = (-len(edges)) % 4
+            ei = [e.kf_i for e in edges] + [0] * e_pad
+            ej = [e.kf_j for e in edges] + [0] * e_pad
+            ez = np.stack(
+                [e.z for e in edges]
+                + [np.eye(4, dtype=np.float32)] * e_pad
+            )
+            ew = [
+                (1000.0 / max(e.rmse_mm, bcfg.lc_sigma_floor_mm)) ** 2
+                for e in edges
+            ] + [0.0] * e_pad
+            emask = jnp.asarray([True] * len(edges) + [False] * e_pad)
             g = posegraph.add_edges(
-                g,
-                jnp.asarray([e.kf_i for e in edges]),
-                jnp.asarray([e.kf_j for e in edges]),
-                jnp.asarray(np.stack([e.z for e in edges])),
-                jnp.asarray([float(e.n_inliers) for e in edges]),
+                g, jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(ez),
+                jnp.asarray(ew),
+            )
+            g = g._replace(
+                edge_mask=g.edge_mask.at[-len(emask):].set(emask)
             )
         res = posegraph.optimize_pose_graph(
             g, iterations=self.cfg.backend.gn_iterations
         )
-        self.optimized_keyframe_poses = np.asarray(res.poses)
+        self.optimized_keyframe_poses = np.asarray(res.poses)[:n]
         return self.optimized_keyframe_poses, edges
+
+    def apply_backend_corrections(self) -> dict:
+        """Propagate optimized keyframe poses into the recorded trajectory,
+        the live reference pose, and the global map.
+
+        Per-keyframe corrections ``T_opt @ inv(T_raw)`` are interpolated to
+        every frame by se3 twist interpolation and landmarks are re-anchored
+        by their `frame_born` provenance, so frames processed after this
+        call match against the corrected map (no reference counterpart: the
+        reference map is never corrected, SURVEY §5).
+        """
+        from bshot_slam_tpu.backend import corrections as corr_mod
+
+        if self.optimized_keyframe_poses is None:
+            self.optimize_backend()
+        n_kf = int(self.keyframes.count)
+        if n_kf < 2 or not self.records:
+            return {"max_correction_mm": 0.0, "n_landmarks_moved": 0}
+        kf_opt = self.optimized_keyframe_poses.astype(np.float32)
+        kf_raw = np.asarray(self.keyframes.poses[:n_kf])
+        corr_kf = kf_opt @ np.linalg.inv(kf_raw)
+        frame0 = int(self.state.frame_idx) - len(self.records)
+        kf_frames = np.asarray(self.keyframes.frame_idx[:n_kf]) - frame0
+        F = len(self.records)
+        corr = np.asarray(
+            corr_mod.interpolate_corrections(
+                jnp.asarray(corr_kf),
+                jnp.asarray(kf_frames.astype(np.int32)),
+                jnp.arange(F, dtype=jnp.int32),
+            )
+        )
+        for f, r in enumerate(self.records):
+            r.pose = (corr[f] @ r.pose).astype(np.float32)
+        new_map = corr_mod.reanchor_map(
+            self.state.map, jnp.asarray(corr),
+            jnp.asarray(frame0, jnp.int32), self.cfg.map,
+        )
+        self.state = self.state._replace(
+            map=new_map,
+            ref_pose=jnp.asarray(
+                (corr[-1] @ np.asarray(self.state.ref_pose)).astype(np.float32)
+            ),
+        )
+        # Keyframe store poses become the optimized ones so the next graph
+        # build does not double-correct.
+        self.keyframes = self.keyframes._replace(
+            poses=self.keyframes.poses.at[:n_kf].set(jnp.asarray(kf_opt))
+        )
+        self._last_kf_pose = (corr_kf[-1] @ self._last_kf_pose).astype(
+            np.float32
+        )
+        self.optimized_keyframe_poses = None  # consumed
+        n_moved = int(
+            np.sum(
+                np.asarray(self.state.map.valid)
+                & (np.asarray(self.state.map.frame_born) >= 0)
+            )
+        )
+        return {
+            "max_correction_mm": float(
+                np.max(np.linalg.norm(corr[:, :3, 3], axis=-1))
+            ),
+            "n_landmarks_moved": n_moved,
+        }
 
     def build_ba_problem(self):
         """Assemble a bundle-adjustment problem from keyframe landmark

@@ -193,6 +193,65 @@ def insert_keypoints(
     return new_state
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_evict",), donate_argnames=("state",)
+)
+def evict_keypoints(state: MapState, n_evict: int) -> MapState:
+    """Evict up to `n_evict` keypoints, lowest-seg-ratio-in-densest-block
+    first, then front-compact so the append-only invariant (valid rows are
+    exactly [0, cursor)) holds for the bounded kernels.
+
+    This is the saturation extension of the reference's insert-time dedup
+    (mymap.cpp:16-24 rejects low-seg-ratio newcomers near strong existing
+    keypoints; here, when the fixed capacity fills, the weakest keypoints of
+    the most crowded voxel blocks make room instead of new data being
+    silently dropped).  The reference itself grows unboundedly.
+    """
+    C = state.positions.shape[0]
+    # --- per-row block occupancy via lexsort + run-length ---
+    SENT = jnp.int32(2**30)
+    blk = jnp.where(state.valid[:, None], state.blocks, SENT)
+    order = jnp.lexsort((blk[:, 2], blk[:, 1], blk[:, 0]))
+    sb = blk[order]
+    new_run = jnp.concatenate(
+        [jnp.array([True]), jnp.any(sb[1:] != sb[:-1], axis=1)]
+    )
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    run_len = jax.ops.segment_sum(
+        jnp.ones((C,), jnp.int32), run_id, num_segments=C
+    )
+    occ_sorted = run_len[run_id]
+    occ = jnp.zeros((C,), jnp.int32).at[order].set(occ_sorted)
+    occ = jnp.where(state.valid, occ, 0)
+
+    # --- eviction score: densest block first, lowest seg_ratio within ---
+    seg_rank = jnp.zeros((C,), jnp.int32).at[
+        jnp.argsort(state.seg_ratios)
+    ].set(jnp.arange(C, dtype=jnp.int32))  # ascending rank
+    score = jnp.where(
+        state.valid,
+        occ.astype(jnp.float32) * (2.0 * C) + (C - 1 - seg_rank),
+        -1.0,
+    )
+    _, evict_idx = jax.lax.top_k(score, n_evict)
+    evict = jnp.zeros((C,), bool).at[evict_idx].set(True)
+    evict &= state.valid  # never "evict" empty rows
+
+    # --- stable front-compaction of survivors ---
+    keep = state.valid & ~evict
+    perm = jnp.argsort(~keep, stable=True)  # kept rows first, order kept
+    return MapState(
+        positions=state.positions[perm],
+        descriptors=state.descriptors[perm],
+        seg_ratios=state.seg_ratios[perm],
+        blocks=state.blocks[perm],
+        valid=keep[perm],
+        cursor=jnp.sum(keep.astype(jnp.int32)),
+        frame_born=jnp.where(keep, state.frame_born, -1)[perm],
+        n_dropped=state.n_dropped,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def query_mask(
     state: MapState, center: jnp.ndarray, range_mm: float, cfg: MapConfig

@@ -119,6 +119,91 @@ def test_masked_rows_never_insert():
     assert int(ms.map_size(state)) == 1
 
 
+def test_evict_lowest_seg_in_densest_block():
+    cfg = MapConfig(capacity=16)
+    state = ms.init_map(cfg)
+    # Dense block: 6 points in block (0,0,0), >800mm apart (no dedup),
+    # seg ratios 0.1..0.6.
+    dense = np.array(
+        [[1000.0 * i, 0.0, 0.0] for i in range(6)], np.float32
+    ) - np.array([2500.0, 0.0, 0.0], np.float32)
+    seg_dense = np.linspace(0.1, 0.6, 6)
+    # Sparse block far away: 3 points with LOWER seg ratios than some dense.
+    sparse = np.array(
+        [[90000.0 + 1000.0 * i, 0.0, 0.0] for i in range(3)], np.float32
+    )
+    seg_sparse = np.array([0.01, 0.02, 0.03])
+    desc = np.zeros((6, 11), np.uint32)
+    state = ms.insert_keypoints(
+        state, jnp.asarray(dense), jnp.asarray(desc),
+        jnp.asarray(seg_dense.astype(np.float32)), jnp.ones(6, bool), cfg,
+    )
+    state = ms.insert_keypoints(
+        state, jnp.asarray(sparse), jnp.asarray(desc[:3]),
+        jnp.asarray(seg_sparse.astype(np.float32)), jnp.ones(3, bool), cfg,
+    )
+    assert int(ms.map_size(state)) == 9
+    out = ms.evict_keypoints(state, 2)
+    # The two weakest DENSE-block points go, even though the sparse block
+    # has globally lower seg ratios (densest-block-first policy).
+    assert int(ms.map_size(out)) == 7
+    assert int(out.cursor) == 7
+    segs = np.sort(np.asarray(out.seg_ratios)[np.asarray(out.valid)])
+    expected = np.sort(np.concatenate([seg_sparse, seg_dense[2:]]))
+    np.testing.assert_allclose(segs, expected, atol=1e-6)
+    # Front-compaction invariant: valid rows are exactly [0, cursor).
+    v = np.asarray(out.valid)
+    assert v[:7].all() and not v[7:].any()
+    # frame_born cleared on evicted rows' former slots
+    assert (np.asarray(out.frame_born)[7:] == -1).all()
+
+
+def test_evict_more_than_valid_is_safe():
+    cfg = MapConfig(capacity=8)
+    state = ms.init_map(cfg)
+    state = _insert(state, [[100000.0, 0, 0], [200000.0, 0, 0]])
+    out = ms.evict_keypoints(state._replace(), 6)
+    assert int(ms.map_size(out)) == 0
+    assert int(out.cursor) == 0
+
+
+def test_engine_evicts_at_hard_capacity():
+    """A long run at tiny capacity engages eviction instead of silent loss."""
+    import dataclasses as dc
+
+    import jax
+
+    from bshot_slam_tpu.config import tiny_config
+    from bshot_slam_tpu.odometry.engine import SlamEngine
+
+    cfg = tiny_config()
+    cfg = dc.replace(
+        cfg,
+        map=dc.replace(cfg.map, capacity=128),
+        runtime=dc.replace(cfg.runtime, map_buckets=(128,)),
+    )
+    eng = SlamEngine(cfg, seed=0, tile=256)
+    rng = np.random.default_rng(7)
+    P = cfg.preprocess.max_points
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for f in range(6):
+            pts = np.zeros((P, 3), np.float32)
+            n = P // 2
+            # fresh region each frame so dedup can't absorb the load
+            pts[:n] = rng.uniform(-2e4, 2e4, (n, 3)) + f * 5.0e4
+            mask = np.zeros(P, bool)
+            mask[:n] = True
+            eng.process_cloud(jnp.asarray(pts), jnp.asarray(mask))
+    assert eng.n_evicted > 0
+    assert int(eng.state.map.cursor) <= 128
+    v = np.asarray(eng.state.map.valid)
+    c = int(eng.state.map.cursor)
+    assert v[:c].all() and not v[c:].any()
+
+
 def test_grow_map_preserves_entries():
     """Engine map growth: padding to a wider bucket keeps every entry and
     the step result (the capacity only bounds the scan grids)."""

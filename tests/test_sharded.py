@@ -61,6 +61,52 @@ def test_sharded_two_frames_progress():
     assert int(d1.map_size) >= int(d0.map_size)
 
 
+def test_map_is_actually_partitioned_not_replicated():
+    """Regression guard against GSPMD silently replicating the map: the
+    map arrays must be physically split over the 'map' mesh axis (distinct
+    per-device row blocks) and the compiled step must contain cross-device
+    collectives."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_config()
+    mesh = sharded.make_mesh(jax.devices()[:8])  # factored (data=2, map=4)
+    n_map = mesh.shape["map"]
+    assert n_map >= 2
+    step, shard_state = sharded.sharded_odometry_step(mesh, cfg, tile=256)
+    state = shard_state(pipeline.init_state(cfg))
+
+    C = cfg.map.capacity
+    pos = state.map.positions
+    assert pos.sharding.spec == P("map", None)
+    shards = pos.addressable_shards
+    # Every device holds exactly one C/n_map row block, and all n_map
+    # distinct blocks are present (replication would give shape (C, 3)).
+    assert {s.data.shape for s in shards} == {(C // n_map, 3)}
+    assert {s.index[0] for s in shards} == {
+        slice(k * C // n_map, (k + 1) * C // n_map) for k in range(n_map)
+    }
+    # Descriptors too (the Hamming-matching operand).
+    dsh = state.map.descriptors.addressable_shards
+    assert {s.data.shape for s in dsh} == {(C // n_map, 11)}
+
+    # Outputs keep the partitioned layout, and a step preserves it.
+    pts, pmask, key = _inputs(cfg)
+    out, _ = step(state, pts, pmask, key)
+    assert out.map.positions.sharding.spec == P("map", None)
+    assert {s.data.shape for s in out.map.positions.addressable_shards} == {
+        (C // n_map, 3)
+    }
+
+    # The compiled program must communicate across devices: a silently
+    # replicated map would compile to a collective-free program.
+    hlo = step.lower(state, pts, pmask, key).compile().as_text()
+    assert any(
+        op in hlo
+        for op in ("all-reduce", "all-gather", "reduce-scatter",
+                   "collective-permute", "all-to-all")
+    ), "no collectives in the compiled sharded step"
+
+
 def test_sharded_ba_matches_dense():
     """Obs-sharded BA (segment_sum -> psum under GSPMD) must match the
     single-device solve."""

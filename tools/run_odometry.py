@@ -70,6 +70,8 @@ def main() -> int:
                          "UDP port instead of reading a PCAP")
     ap.add_argument("--udp-idle", type=float, default=5.0,
                     help="stop live capture after this many idle seconds")
+    ap.add_argument("--noise", type=float, default=20.0, metavar="MM",
+                    help="synthetic: per-point range noise sigma (mm)")
     ap.add_argument("--yaw-rate", type=float, default=0.0,
                     help="synthetic: constant yaw per frame (rad); e.g. "
                          "2*pi/N drives a closed loop in N frames")
@@ -85,6 +87,10 @@ def main() -> int:
                     help="with --backend: bundle-adjust keyframe poses + "
                          "map landmarks over the odometry inlier "
                          "observations after the run")
+    ap.add_argument("--backend-every", type=int, default=0, metavar="N",
+                    help="with --backend: run loop closure + pose graph + "
+                         "map re-anchoring every N frames during the run, "
+                         "so later frames match the corrected map")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -132,8 +138,8 @@ def main() -> int:
                                idle_timeout=args.udp_idle)
     elif args.synthetic:
         sweeps, gt_poses = synthetic.render_sequence(
-            args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=20.0, seed=0,
-            yaw_rate_rad=args.yaw_rate, n_firings=cfg.sensor.n_azimuth,
+            args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=args.noise,
+            seed=0, yaw_rate_rad=args.yaw_rate, n_firings=cfg.sensor.n_azimuth,
         )
     else:
         if not args.pcap:
@@ -155,15 +161,19 @@ def main() -> int:
     if args.frames and not args.udp:  # the UDP iterator caps itself
         sweeps = sweeps[: args.frames]
 
-    eng = SlamEngine(cfg, enable_backend=args.backend)
+    eng = SlamEngine(cfg, enable_backend=args.backend,
+                     backend_every=args.backend_every)
     prior_traj = None
     if args.resume:
-        from bshot_slam_tpu.checkpoint import load_state
+        from bshot_slam_tpu.checkpoint import load_backend, load_state
 
         eng.state, prior_poses = load_state(args.resume)
         prior_traj = prior_poses[:, :3, 3] if len(prior_poses) else None
         print(f"resumed from {args.resume}: map={int(eng.state.map.cursor)} "
               f"frame_idx={int(eng.state.frame_idx)}")
+        if args.backend and load_backend(args.resume, eng):
+            print(f"  backend: {int(eng.keyframes.count)} keyframes, "
+                  f"{len(eng.loop_edges)} loop edges restored")
     import contextlib
 
     from bshot_slam_tpu.utils.profiling import trace
@@ -204,17 +214,6 @@ def main() -> int:
             f"inliers mean={np.mean([r.n_inliers for r in eng.records[1:]]):.1f}"
         )
 
-    full_traj = eng.trajectory
-    if prior_traj is not None:
-        # Resumed runs compare/save the full prior+new trajectory so --gold
-        # aligns frame 0 of the gold file with the true frame 0.
-        full_traj = np.concatenate([prior_traj, full_traj], axis=0)
-    if args.out:
-        traj_io.save_xyz(args.out, full_traj)
-        print(f"trajectory -> {args.out}")
-    if args.gold:
-        gold = traj_io.load_xyz(args.gold)
-        print(f"ATE RMSE vs {args.gold}: {ate_rmse(full_traj, gold):.1f} mm")
     gt_rel = None
     if args.synthetic and not args.resume and n:
         # SLAM's world frame is the first sensor pose.
@@ -222,6 +221,7 @@ def main() -> int:
         print(f"ATE RMSE vs synthetic ground truth: "
               f"{ate_rmse(eng.trajectory, gt_rel[:, :3, 3]):.1f} mm")
     if args.backend:
+        raw_traj = eng.trajectory.copy()
         kf_poses, edges = eng.optimize_backend()
         n_kf = int(eng.keyframes.count)
         kf_idx = np.asarray(eng.keyframes.frame_idx[:n_kf])
@@ -233,6 +233,29 @@ def main() -> int:
             raw_ate = ate_rmse(eng.poses[kf_idx][:, :3, 3], gt_kf)
             print(f"keyframe ATE RMSE: raw={raw_ate:.1f} mm "
                   f"optimized={opt_ate:.1f} mm")
+        summary = eng.apply_backend_corrections()
+        print(f"corrections applied: max |t| "
+              f"{summary['max_correction_mm']:.1f} mm over "
+              f"{summary['n_landmarks_moved']} landmarks")
+        if gt_rel is not None:
+            gt_xyz = gt_rel[:n, :3, 3]
+            print(f"full-trajectory ATE RMSE: "
+                  f"raw={ate_rmse(raw_traj, gt_xyz):.1f} mm "
+                  f"corrected={ate_rmse(eng.trajectory, gt_xyz):.1f} mm")
+    # Trajectory save/compare happens after the backend so --out/--gold see
+    # the corrected trajectory when --backend is on (reference save:
+    # odometry_test.cpp:348-361).
+    full_traj = eng.trajectory
+    if prior_traj is not None:
+        # Resumed runs compare/save the full prior+new trajectory so --gold
+        # aligns frame 0 of the gold file with the true frame 0.
+        full_traj = np.concatenate([prior_traj, full_traj], axis=0)
+    if args.out:
+        traj_io.save_xyz(args.out, full_traj)
+        print(f"trajectory -> {args.out}")
+    if args.gold:
+        gold = traj_io.load_xyz(args.gold)
+        print(f"ATE RMSE vs {args.gold}: {ate_rmse(full_traj, gold):.1f} mm")
         if args.ba:
             from bshot_slam_tpu.backend.ba import ba_solve
 
@@ -247,7 +270,9 @@ def main() -> int:
             else:
                 print("BA: no landmark observations recorded")
     if args.checkpoint:
-        from bshot_slam_tpu.checkpoint import load_state, save_state
+        from bshot_slam_tpu.checkpoint import (
+            load_state, save_backend, save_state,
+        )
 
         all_poses = eng.poses
         if args.resume:
@@ -255,6 +280,8 @@ def main() -> int:
             if len(prior_poses):
                 all_poses = np.concatenate([prior_poses, all_poses], axis=0)
         save_state(args.checkpoint, eng.state, all_poses)
+        if args.backend:
+            save_backend(args.checkpoint, eng)
         print(f"checkpoint -> {args.checkpoint}")
     return 0
 
