@@ -1,6 +1,12 @@
-"""Benchmark: end-to-end scan-to-map odometry frames/sec on one chip.
+"""Benchmark: HONEST end-to-end scan-to-map odometry frames/sec on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+headline number is `SlamEngine.process_sweep` end to end (range-image
+build, preprocessing, bucketing, the fused odometry step, diagnostics
+fetch) over 100 DISTINCT synthetic frames with the global map pre-grown to
+>=64k landmarks, in pipelined mode (host work overlaps device compute).
+A step-only number (device step over prepared clouds, the round-1/2
+methodology) is reported on stderr for comparison.
 
 Baseline: the reference's only recorded timing is its SR keypoint
 extraction stage at 575-700 ms/frame on a 12-thread CPU
@@ -19,9 +25,39 @@ import time
 import numpy as np
 
 BASELINE_FPS = 1.0 / 0.65  # reference keypoint stage alone, optimistic
+PREFILL_LANDMARKS = 65536  # >=64k map rows live during every matched frame
 
 
-def main(n_frames: int = 12, warmup: int = 2) -> None:
+def _prefilled_map(cfg, capacity: int):
+    """MapState with PREFILL_LANDMARKS random valid landmarks (placed far
+    outside the drive's query window so SLAM quality is unaffected while the
+    matching/dedup kernels pay the full >=64k-row cost every frame)."""
+    import jax.numpy as jnp
+
+    from bshot_slam_tpu.odometry import mapstore
+
+    rng = np.random.default_rng(42)
+    n = PREFILL_LANDMARKS
+    pos = rng.uniform(1.9e6, 2.1e6, (n, 3)).astype(np.float32)
+    pos = np.trunc(pos / cfg.map.snap_mm) * cfg.map.snap_mm
+    st = mapstore.init_map(cfg.map, capacity)
+    return st._replace(
+        positions=st.positions.at[:n].set(jnp.asarray(pos)),
+        descriptors=st.descriptors.at[:n].set(
+            jnp.asarray(rng.integers(0, 2**32, (n, 11), dtype=np.uint32))
+        ),
+        seg_ratios=st.seg_ratios.at[:n].set(
+            jnp.asarray(rng.uniform(0, 1, n).astype(np.float32))
+        ),
+        blocks=st.blocks.at[:n].set(
+            jnp.asarray(np.round(pos / cfg.map.block_size_mm).astype(np.int32))
+        ),
+        valid=st.valid.at[:n].set(True),
+        cursor=jnp.asarray(n, jnp.int32),
+    )
+
+
+def main(n_frames: int = 100) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -32,88 +68,98 @@ def main(n_frames: int = 12, warmup: int = 2) -> None:
     from bshot_slam_tpu.config import default_config
     from bshot_slam_tpu.io import synthetic
     from bshot_slam_tpu.odometry import pipeline
+    from bshot_slam_tpu.odometry.engine import SlamEngine
     from bshot_slam_tpu.ops import preprocess as pp
     from bshot_slam_tpu.ops.rangeimage import build_range_image
 
     cfg = default_config()
     sensor = cfg.sensor
-    tile = cfg.runtime.point_tile
 
-    # Host-side: render a realistic HDL-32E-resolution synthetic drive.
+    # 100+ DISTINCT frames of a realistic HDL-32E-resolution drive
+    # (scene simulation is not SLAM work: rendering stays untimed).
     sweeps, _ = synthetic.render_sequence(
-        min(n_frames + warmup, 6), sensor, step_mm=400.0, noise_mm=20.0,
-        seed=0, n_firings=sensor.n_azimuth,
+        n_frames, sensor, step_mm=400.0, noise_mm=20.0, seed=0,
+        n_firings=sensor.n_azimuth, yaw_rate_rad=2 * np.pi / n_frames,
     )
-    ris = [build_range_image(s, sensor) for s in sweeps]
-    dev_inputs = [
-        (jnp.asarray(ri.range_mm), jnp.asarray(ri.azimuth_rad),
-         jnp.asarray(ri.vert_rad), jnp.asarray(ri.selected))
-        for ri in ris
-    ]
 
-    from bshot_slam_tpu.odometry.engine import pick_bucket
+    capacity = cfg.map.capacity  # 131072: prefill 64k + inserts, no regrow
 
-    def prep(inp):
-        rmm, azr, vr, sel = inp
-        res = pp.preprocess(rmm, azr, vr, cfg.preprocess)
-        pts, pmask = pp.extract_cloud(res, sel, cfg.preprocess.max_points)
-        b = pick_bucket(int(jnp.sum(pmask)), cfg)
-        return pts[:b], pmask[:b]
+    def fresh_engine():
+        eng = SlamEngine(cfg, seed=0, pipelined=True)
+        eng.state = eng.state._replace(map=_prefilled_map(cfg, capacity))
+        return eng
 
-    # Preprocess + bucket once per distinct input (the engine does this per
-    # frame; here inputs recycle, so hoist it out of the timed loop — the
-    # timed region is the full fused odometry step).
-    clouds = [prep(inp) for inp in dev_inputs]
+    # --- warm pass: compile every (cloud bucket x map capacity) shape ---
+    warm = fresh_engine()
+    for sw in sweeps:
+        warm.process_sweep(sw)
+    warm.flush()
 
-    def frame(state, key, i):
-        pts, pmask = clouds[i % len(clouds)]
-        return pipeline.odometry_step(state, pts, pmask, key, cfg, tile)
-
-    # Start the map at the smallest capacity bucket, like the engine does
-    # (12 frames insert ~2k keypoints, far below the first bucket).
-    from bshot_slam_tpu.odometry import mapstore
-
-    state = pipeline.init_state(cfg)
-    state = state._replace(
-        map=mapstore.init_map(cfg.map, min(cfg.runtime.map_buckets))
-    )
-    key = jax.random.PRNGKey(0)
-
-    # Warm every distinct cloud shape so the timed loop never compiles.
-    for i in range(max(warmup, len(clouds))):
-        key, sub = jax.random.split(key)
-        state, diag = frame(state, sub, i)
-    jax.block_until_ready(state)
-
+    # --- honest timed pass: engine end to end, pipelined ---
+    eng = fresh_engine()
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        key, sub = jax.random.split(key)
-        state, diag = frame(state, sub, i)
-    # Fence with a host fetch: the whole frame chain hangs off the final
-    # state, and a scalar fetch is a reliable completion barrier on every
-    # backend (block_until_ready alone can return early through the axon
-    # remote tunnel).
-    _ = int(state.frame_idx) + int(diag.map_size)
-    dt = time.perf_counter() - t0
+    for sw in sweeps:
+        eng.process_sweep(sw)
+    eng.flush()
+    dt_engine = time.perf_counter() - t0
+    engine_fps = n_frames / dt_engine
+    final = eng.records[-1]
 
-    fps = n_frames / dt
+    # --- step-only comparison (prior methodology): device-resident clouds,
+    # fused step timed alone ---
+    clouds = []
+    for sw in sweeps:
+        ri = build_range_image(sw, sensor)
+        res = pp.preprocess(
+            jnp.asarray(ri.range_mm), jnp.asarray(ri.azimuth_rad),
+            jnp.asarray(ri.vert_rad), cfg.preprocess,
+        )
+        pts, pmask = pp.extract_cloud(
+            res, jnp.asarray(ri.selected), cfg.preprocess.max_points
+        )
+        from bshot_slam_tpu.odometry.engine import pick_bucket
+
+        b = pick_bucket(int(jnp.sum(pmask)), cfg)
+        clouds.append((pts[:b], pmask[:b]))
+
+    state = pipeline.init_state(cfg)._replace(map=_prefilled_map(cfg, capacity))
+    key = jax.random.PRNGKey(0)
+    tile = cfg.runtime.point_tile
+    for i in range(4):  # shapes are warm from the engine passes
+        key, sub = jax.random.split(key)
+        state, diag = pipeline.odometry_step(
+            state, *clouds[i], sub, cfg, tile
+        )
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for pts, pmask in clouds:
+        key, sub = jax.random.split(key)
+        state, diag = pipeline.odometry_step(state, pts, pmask, sub, cfg, tile)
+    # Fence with a host fetch (block_until_ready alone can return early
+    # through the axon remote tunnel).
+    _ = int(state.frame_idx) + int(diag.map_size)
+    dt_step = time.perf_counter() - t0
+    step_fps = len(clouds) / dt_step
+
     print(
         json.dumps(
             {
-                "metric": "odometry_frames_per_sec_per_chip",
-                "value": round(fps, 3),
+                "metric": "engine_frames_per_sec_per_chip",
+                "value": round(engine_fps, 3),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
+                "vs_baseline": round(engine_fps / BASELINE_FPS, 2),
             }
         )
     )
     print(
-        f"# {n_frames} frames in {dt:.2f}s; last frame: map={int(diag.map_size)} "
-        f"inliers={int(diag.n_inliers)} platform={jax.devices()[0].platform}",
+        f"# honest engine fps (process_sweep e2e, {n_frames} distinct frames,"
+        f" map>={PREFILL_LANDMARKS}): {engine_fps:.1f} | step-only fps: "
+        f"{step_fps:.1f} | final map={final.map_size} inliers="
+        f"{final.n_inliers} platform={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     main(n)

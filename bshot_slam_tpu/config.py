@@ -99,9 +99,13 @@ class KeypointConfig:
     # Neighborhood radius, mm (reference: lidar_odometry.cpp:68).
     radius_mm: float = 3000.0
     # Reference caps the kd-tree radius search at 300 returned neighbors
-    # (lidar_odometry.cpp:70). The TPU rebuild evaluates the full radius
-    # neighborhood (dense masked compute — no kd-tree); kept for parity docs.
+    # (lidar_odometry.cpp:70, bshot_bits.h:68).  Default TPU mode evaluates
+    # the full radius neighborhood (dense masked compute — no kd-tree);
+    # neighbor_cap_mode=True enables the parity approximation: each query's
+    # ball shrinks to the radius expected to hold `neighbor_cap` points
+    # (ops.keypoints.capped_r2_rows), applied to SR scoring and normals.
     neighbor_cap: int = 300
+    neighbor_cap_mode: bool = False
     # Keep the top-k highest seg-ratio points (reference: lidar_odometry.cpp:138).
     top_k: int = 600
     # Saliency variant: "CV" | "CVS" | "CVSN" (reference: lidar_odometry.cpp:83-119;

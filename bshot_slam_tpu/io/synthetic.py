@@ -72,6 +72,45 @@ def default_scene(seed: int = 0, n_buildings: int = 14, n_poles: int = 24,
     return Scene(boxes=boxes)
 
 
+def adversarial_scene(seed: int = 0, extent_mm: float = 60_000.0) -> Scene:
+    """default_scene hardened for adversarial evaluation (VERDICT r2 item 9):
+    undulating ground (exercises the stateful ground-walk thresholds,
+    reference preprocess.cpp:73-166), plus low clutter boxes near the
+    corridor (curbs, bins, parked cars) that ground removal must NOT eat."""
+    rng = np.random.default_rng(seed + 1000)
+    scene = default_scene(seed)
+    boxes = list(scene.boxes)
+    for _ in range(16):
+        x0 = rng.uniform(2_500, 5_800) * (1 if rng.integers(0, 2) else -1)
+        y0 = rng.uniform(-extent_mm, extent_mm * 2)
+        w = rng.uniform(300, 2_200)
+        d = rng.uniform(300, 4_000)
+        h = rng.uniform(200, 1_500)  # low: the hard case for ground removal
+        boxes.append(Box((x0, y0, 0.0), (x0 + w, y0 + d, h)))
+    # Periodic NEAR-FIELD clutter (parked cars / bins at 2.6-4.5 m lateral):
+    # these become the lowest rings' first returns, where the virtual-seed
+    # geometry (vert_init) decides whether the ground walk eats them — the
+    # failure mode PCP_SP_initpos_analysis.m measures.
+    for k in range(-2, 26):
+        side = 1 if k % 2 == 0 else -1
+        x0 = side * rng.uniform(2_600, 4_500)
+        w = rng.uniform(600, 1_600) * side
+        y0 = k * 5_000.0 + rng.uniform(-800, 800)
+        h = rng.uniform(800, 1_500)
+        lo_x, hi_x = min(x0, x0 + w), max(x0, x0 + w)
+        boxes.append(Box((lo_x, y0, 0.0), (hi_x, y0 + rng.uniform(800, 3_000), h)))
+    return Scene(boxes=boxes, ground_amp=300.0, ground_wavelength=25_000.0)
+
+
+# Self-car body rendered in the SENSOR frame (moves with the sensor): the
+# reference's crop box is x in [-820,820], y in [-1800,1300], z in
+# [-2000,100] (preprocess.cpp:155-157); the rendered body top sits 800 mm
+# below the sensor (mast-mounted unit) so only the steepest rings return
+# off it in the rear sector, instead of the body shadowing every low ring.
+_SELF_CAR_LO = np.array([-820.0, -1800.0, -2000.0])
+_SELF_CAR_HI = np.array([820.0, 1300.0, -800.0])
+
+
 def _ray_ground(origin: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.ndarray:
     """Distance to the ground surface per ray; inf if none. dirs: (..., 3)."""
     dz = dirs[..., 2]
@@ -79,11 +118,15 @@ def _ray_ground(origin: np.ndarray, dirs: np.ndarray, scene: Scene) -> np.ndarra
     if scene.ground_amp != 0.0:
         # One Newton-ish refinement against the undulating surface.
         for _ in range(2):
-            p = origin[None, :] + t[..., None] * dirs
+            t_safe = np.where(np.isfinite(t), t, 0.0)
+            p = origin[None, :] + t_safe[..., None] * dirs
             gz = scene.ground_z + scene.ground_amp * np.sin(
                 p[..., 0] / scene.ground_wavelength
             ) * np.sin(p[..., 1] / scene.ground_wavelength)
-            t = np.where(np.isfinite(t) & (dz < -1e-9), (gz - origin[2]) / dz, t)
+            dz_safe = np.where(dz < -1e-9, dz, -1.0)
+            t = np.where(
+                np.isfinite(t) & (dz < -1e-9), (gz - origin[2]) / dz_safe, t
+            )
     return np.where(t > 0, t, np.inf)
 
 
@@ -122,6 +165,7 @@ def render_sweep(
     noise_mm: float = 0.0,
     seed: int = 0,
     n_firings: int | None = None,
+    self_car: bool = False,
 ) -> LaserSweep:
     """Ray-cast one full rotation from `pose` (4x4 world<-sensor, mm).
 
@@ -149,6 +193,16 @@ def render_sweep(
     origin = pose[:3, 3]
     d_world = d_local @ R.T
     dist = raycast(origin, d_world, scene)  # (R, A) mm
+    if self_car:
+        # Intersect in the sensor frame (the body travels with the sensor);
+        # nearer car hits shadow the world behind them.
+        t_car = _ray_box(
+            np.zeros(3), d_local, Box(tuple(_SELF_CAR_LO), tuple(_SELF_CAR_HI))
+        )
+        t_car = np.where(np.isfinite(t_car), t_car, np.inf)
+        dist = np.where(
+            t_car < np.where(dist > 0, dist, np.inf), t_car, dist
+        )
     if noise_mm > 0:
         rng = np.random.default_rng(seed)
         dist = np.where(
@@ -197,14 +251,19 @@ def render_sequence(
     noise_mm: float = 0.0,
     seed: int = 0,
     n_firings: int | None = None,
+    adversarial: bool = False,
 ) -> Tuple[List[LaserSweep], np.ndarray]:
-    """Render a posed sweep sequence; returns (sweeps, gt_poses (n,4,4))."""
-    scene = scene or default_scene(seed)
+    """Render a posed sweep sequence; returns (sweeps, gt_poses (n,4,4)).
+
+    `adversarial` swaps in the hardened scene (ground undulation + low
+    clutter) and renders self-car returns."""
+    if scene is None:
+        scene = adversarial_scene(seed) if adversarial else default_scene(seed)
     poses = straight_trajectory(n_frames, step_mm=step_mm,
                                 yaw_rate_rad=yaw_rate_rad)
     sweeps = [
         render_sweep(scene, sensor, poses[i], noise_mm=noise_mm, seed=seed + i,
-                     n_firings=n_firings)
+                     n_firings=n_firings, self_car=adversarial)
         for i in range(n_frames)
     ]
     return sweeps, poses

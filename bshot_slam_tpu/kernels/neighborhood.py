@@ -72,8 +72,8 @@ def _boxes_separated(qlo_ref, qhi_ref, rlo_ref, rhi_ref, i, j, rad):
 
 
 def _accum_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
-                  q_ref, qm_ref, r_ref, rm_ref, feat_ref, out_ref,
-                  *, r2, rad):
+                  q_ref, qm_ref, qr2_ref, r_ref, rm_ref, feat_ref, out_ref,
+                  *, rad):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -86,6 +86,8 @@ def _accum_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
     # past the last valid row contributes nothing — skip its MXU work.
     # AABB pruning: scan-ordered points are spatially coherent, so most
     # tile pairs are farther apart than the radius — skip those too.
+    # (Per-query radii qr2 are always <= rad^2, so pruning with the global
+    # rad stays conservative.)
     nv = nv_ref[0]
     sep = _boxes_separated(qlo_ref, qhi_ref, rlo_ref, rhi_ref, i, j, rad)
 
@@ -99,7 +101,7 @@ def _accum_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
             q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (TQ, TR)
         d2 = qq + pp.T - 2.0 * cross
-        within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+        within = (d2 <= qr2_ref[:]) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
         w = within.astype(jnp.float32)
         out_ref[:] += jax.lax.dot_general(
             w, feat_ref[:], (((1,), (0,)), ((), ())),
@@ -117,14 +119,21 @@ def neighborhood_accumulate(
     radius: float,
     feat_width: int = 0,
     interpret: bool = False,
+    r2_row: jnp.ndarray | None = None,  # (N,) per-query r^2 (<= radius^2)
 ) -> jnp.ndarray:
-    """out[i] = sum over in-radius j of feat[j]; masked rows give zeros."""
+    """out[i] = sum over in-radius j of feat[j]; masked rows give zeros.
+
+    `r2_row` optionally shrinks each query's ball (the neighbor-cap parity
+    mode); `radius` stays the conservative AABB-pruning bound."""
     N = points.shape[0]
     F = feat.shape[1]
     q = _pad_rows(points, TQ)
     r = _pad_rows(points, TR)
     qm = _pad_rows(mask.astype(jnp.float32)[:, None], TQ)
     rm = _pad_rows(mask.astype(jnp.float32)[:, None], TR)
+    if r2_row is None:
+        r2_row = jnp.full((N,), radius * radius, jnp.float32)
+    qr2 = _pad_rows(r2_row.astype(jnp.float32)[:, None], TQ)
     fp = _pad_rows(feat, TR)
     Nq = q.shape[0]
     Nr = r.shape[0]
@@ -141,7 +150,7 @@ def neighborhood_accumulate(
     rlo, rhi = _tile_aabbs(r, _pad_rows(mask, TR), TR)
     grid = (Nq // TQ, Nr // TR)
     out = pl.pallas_call(
-        functools.partial(_accum_kernel, r2=radius * radius, rad=radius),
+        functools.partial(_accum_kernel, rad=radius),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -151,6 +160,7 @@ def neighborhood_accumulate(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, F), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -159,13 +169,13 @@ def neighborhood_accumulate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Nq, F), jnp.float32),
         interpret=interpret,
-    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, r, rm, fp)
+    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, qr2, r, rm, fp)
     return jnp.where(mask[:, None], out[:N], 0.0)
 
 
 def _segratio_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
-                     q_ref, qm_ref, qv_ref, r_ref, rm_ref, out_ref,
-                     *, r2, rad, normalized):
+                     q_ref, qm_ref, qv_ref, qr2_ref, r_ref, rm_ref, out_ref,
+                     *, rad, normalized):
     """Per-query-side vector kernel: counts of sign(dot(ctvec_q, p_r - q))
     and the CVS/CVSN dot sums, fused with the radius test."""
     i = pl.program_id(0)
@@ -189,7 +199,7 @@ def _segratio_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
             q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         d2 = qq + pp.T - 2.0 * cross
-        within = (d2 <= r2) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
+        within = (d2 <= qr2_ref[:]) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
         # dot(v_q, p_r - q) = v.p_r - v.q
         vr = jax.lax.dot_general(
             v, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -224,6 +234,7 @@ def segratio_accumulate(
     radius: float,
     normalized: bool = False,
     interpret: bool = False,
+    r2_row: jnp.ndarray | None = None,  # (N,) per-query r^2 (<= radius^2)
 ) -> jnp.ndarray:
     """Returns (N, 3): [pos count, neg count, CVS(N) dot sum] per point."""
     N = points.shape[0]
@@ -232,6 +243,9 @@ def segratio_accumulate(
     qm = _pad_rows(mask.astype(jnp.float32)[:, None], TQ)
     rm = _pad_rows(mask.astype(jnp.float32)[:, None], TR)
     qv = _pad_rows(ctvec, TQ)
+    if r2_row is None:
+        r2_row = jnp.full((N,), radius * radius, jnp.float32)
+    qr2 = _pad_rows(r2_row.astype(jnp.float32)[:, None], TQ)
     n_valid = jnp.where(
         jnp.any(mask),
         points.shape[0] - jnp.argmax(mask[::-1]).astype(jnp.int32),
@@ -241,7 +255,7 @@ def segratio_accumulate(
     rlo, rhi = _tile_aabbs(r, _pad_rows(mask, TR), TR)
     grid = (q.shape[0] // TQ, r.shape[0] // TR)
     out = pl.pallas_call(
-        functools.partial(_segratio_kernel, r2=radius * radius, rad=radius,
+        functools.partial(_segratio_kernel, rad=radius,
                           normalized=normalized),
         grid=grid,
         in_specs=[
@@ -253,6 +267,7 @@ def segratio_accumulate(
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TQ, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TR, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
@@ -260,5 +275,5 @@ def segratio_accumulate(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q.shape[0], 128), jnp.float32),
         interpret=interpret,
-    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, qv, r, rm)
+    )(n_valid.reshape(1), qlo, qhi, rlo, rhi, q, qm, qv, qr2, r, rm)
     return jnp.where(mask[:, None], out[:N, :3], 0.0)

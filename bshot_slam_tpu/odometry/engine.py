@@ -55,7 +55,8 @@ class SlamEngine:
     keyframe/loop-closure/pose-graph backend (no reference counterpart)."""
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
-                 enable_backend: bool = False, backend_every: int = 0):
+                 enable_backend: bool = False, backend_every: int = 0,
+                 pipelined: bool = False):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
@@ -64,6 +65,16 @@ class SlamEngine:
         # during the run (0 = only when the caller asks), so later frames
         # match against the corrected map.
         self.backend_every = backend_every
+        # Pipelined mode defers each frame's diagnostics fetch to the NEXT
+        # process call, so host work (range-image build, upload) overlaps
+        # the device executing the previous step — the TPU analog of the
+        # reference's capture-thread/main-loop overlap
+        # (VelodyneCapture.h:172-212).  process_* then returns the PREVIOUS
+        # frame's record (None on the first call); call flush() at the end.
+        # Incompatible with the backend (keyframing needs this frame's pose).
+        self.pipelined = pipelined and not enable_backend
+        self._pending_diag = None
+        self._cursor_ub = None
         self.state = pipeline.init_state(cfg)
         # Start the map at the smallest capacity bucket; _maybe_grow_map
         # widens it (one recompile per bucket) as the map fills.
@@ -118,12 +129,26 @@ class SlamEngine:
             points, pmask = points[:b], pmask[:b]
         return self.process_cloud(points, pmask)
 
-    def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray) -> FrameRecord:
+    def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray):
         self._maybe_grow_map()
         self.key, sub = jax.random.split(self.key)
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
         )
+        if self.pipelined:
+            prev, self._pending_diag = self._pending_diag, diag
+            return self._finalize(prev) if prev is not None else None
+        return self._finalize(diag)
+
+    def flush(self) -> Optional[FrameRecord]:
+        """Pipelined mode: finalize the in-flight frame (call after the last
+        process_* call; returns its record, or None if nothing pending)."""
+        if self._pending_diag is None:
+            return None
+        diag, self._pending_diag = self._pending_diag, None
+        return self._finalize(diag)
+
+    def _finalize(self, diag) -> FrameRecord:
         # One host fetch for all scalar diagnostics (pipeline packs them),
         # instead of seven round trips — dominant cost on remoted devices.
         pk = np.asarray(diag.packed)
@@ -168,7 +193,17 @@ class SlamEngine:
         hard capacity ceiling, evict lowest-seg-ratio-in-densest-block
         keypoints instead of letting inserts drop silently."""
         cap = self.state.map.positions.shape[0]
-        need = int(self.state.map.cursor) + self.cfg.keypoints.top_k
+        if self.pipelined:
+            # Host-side cursor upper bound (each step appends <= top_k), so
+            # growth decisions never force a device sync mid-pipeline;
+            # growing a few frames early is harmless.
+            if self._cursor_ub is None:
+                self._cursor_ub = int(self.state.map.cursor)
+            cursor = self._cursor_ub
+            self._cursor_ub += self.cfg.keypoints.top_k
+        else:
+            cursor = int(self.state.map.cursor)
+        need = cursor + self.cfg.keypoints.top_k
         if need <= cap:
             return
         hard_cap = self.cfg.map.capacity
@@ -189,6 +224,8 @@ class SlamEngine:
         )
         evicted = before - int(self.state.map.cursor)
         self.n_evicted += evicted
+        if self.pipelined:  # re-sync the host bound to the true cursor
+            self._cursor_ub = int(self.state.map.cursor)
         if evicted and not self._warned_evict:
             self._warned_evict = True
             import warnings

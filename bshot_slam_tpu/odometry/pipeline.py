@@ -116,9 +116,11 @@ def compute_features(
     )
     from bshot_slam_tpu.ops.normals import normals_from_moments
 
+    cap_mode = cfg.keypoints.neighbor_cap_mode
     share = (
         cfg.descriptor.use_surface_normals
         and cfg.descriptor.normal_radius_mm == cfg.keypoints.radius_mm
+        and not cap_mode  # capped balls differ per consumer; no shared sweep
     )
     if share:
         cnt, psum, outer = neighborhood_moments(
@@ -146,7 +148,8 @@ def compute_features(
         kps = extract_keypoints(points, pmask, cfg.keypoints, tile)
         if cfg.descriptor.use_surface_normals:
             normals, _, _ = surface_normals(
-                points, pmask, cfg.descriptor.normal_radius_mm, tile
+                points, pmask, cfg.descriptor.normal_radius_mm, tile,
+                cap=cfg.keypoints.neighbor_cap if cap_mode else None,
             )
         else:  # reference-mimic mode: zero surface normals (bshot_bits.h:59)
             normals = jnp.zeros_like(points)

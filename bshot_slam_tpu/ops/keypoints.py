@@ -57,17 +57,52 @@ def _pair_d2(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(qq[:, None] + pp[None, :] - 2.0 * cross, 0.0)
 
 
+def capped_r2_rows(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    radius: float,
+    cap: int,
+    tile: int = 4096,
+    refine: int = 2,
+) -> jnp.ndarray:
+    """Per-point effective squared radius approximating the reference's
+    300-nearest-neighbor cap (reference: lidar_odometry.cpp:70,
+    bshot_bits.h:68 — PCL radiusSearch returns the `cap` NEAREST hits).
+
+    The TPU rebuild has no kd-tree ordering to truncate, so the ball is
+    shrunk instead: under locally uniform density, the ball holding the
+    nearest `cap` of `cnt` in-radius points has r_eff = r (cap/cnt)^(1/3),
+    i.e. r_eff^2 = r^2 (cap/cnt)^(2/3).  `refine` extra counting passes
+    fixed-point-iterate the shrinkage, adapting to density gradients
+    (Gaussian clusters etc.); tests/test_keypoints.py quantifies the
+    residual divergence from the exact truncation.
+    """
+    r2 = radius * radius
+    r2_row = jnp.full((points.shape[0],), r2, jnp.float32)
+    for _ in range(1 + refine):
+        cnt, _, _ = neighborhood_moments(points, mask, radius, tile,
+                                         r2_row=r2_row)
+        # Shrink where over-full, relax toward the full radius where
+        # over-shrunk; fixed point at cnt ~= cap (or at the full ball).
+        r2_row = jnp.minimum(
+            r2_row * (cap / jnp.maximum(cnt, 1.0)) ** (2.0 / 3.0), r2
+        )
+    return r2_row
+
+
 def neighborhood_moments(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     radius: float,
     tile: int = 4096,
+    r2_row: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-point neighbor (count, sum, sum of outer products) within radius.
 
     Returns (count (N,), psum (N, 3), pouter (N, 3, 3)); the query point
     itself is included (kd-tree radius search includes the query, as in the
     reference).  Masked points contribute nothing and receive zeros.
+    `r2_row` optionally shrinks each query's ball (neighbor-cap mode).
     """
     r2 = radius * radius
     if _use_pallas():
@@ -84,7 +119,8 @@ def neighborhood_moments(
         )
         feat = jnp.zeros((n, 128), jnp.float32)
         feat = feat.at[:, 0].set(1.0).at[:, 1:4].set(points).at[:, 4:10].set(prods)
-        acc = neighborhood_accumulate(points, mask, feat, radius)
+        acc = neighborhood_accumulate(points, mask, feat, radius,
+                                      r2_row=r2_row)
         cnt, s, o6 = acc[:, 0], acc[:, 1:4], acc[:, 4:10]
         outer = jnp.stack(
             [
@@ -96,13 +132,14 @@ def neighborhood_moments(
         )
         return cnt, s, outer
 
+    r2_col = r2 if r2_row is None else r2_row[:, None]
     ref_p, ref_m = _ref_tiles(points, mask, tile)
 
     def body(acc, ref):
         rp, rm = ref
         cnt, s, o = acc
         d2 = _pair_d2(points, rp)
-        within = (d2 <= r2) & rm[None, :] & mask[:, None]
+        within = (d2 <= r2_col) & rm[None, :] & mask[:, None]
         w = within.astype(jnp.float32)
         cnt = cnt + jnp.sum(w, axis=1)
         s = s + jnp.dot(w, rp, preferred_element_type=jnp.float32)
@@ -142,16 +179,24 @@ def seg_ratio_scores(
     cfg: KeypointConfig,
     tile: int = 4096,
     moments: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    r2_row: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-point saliency (N,), -inf where undefined or masked.
 
     `moments` optionally supplies precomputed (count, sum) at cfg.radius_mm
     so the sweep can be shared with normal estimation (same radius in the
-    reference: lidar_odometry.cpp:68 vs 174).
+    reference: lidar_odometry.cpp:68 vs 174).  With cfg.neighbor_cap_mode,
+    an extra counting pass shrinks each query's ball to the cap (reference
+    300-neighbor truncation, lidar_odometry.cpp:70) before scoring.
     """
     r2 = cfg.radius_mm * cfg.radius_mm
+    if cfg.neighbor_cap_mode and r2_row is None:
+        r2_row = capped_r2_rows(points, mask, cfg.radius_mm,
+                                cfg.neighbor_cap, tile)
+        moments = None  # shared full-radius moments don't apply when capped
     if moments is None:
-        cnt, psum, _ = neighborhood_moments(points, mask, cfg.radius_mm, tile)
+        cnt, psum, _ = neighborhood_moments(points, mask, cfg.radius_mm,
+                                            tile, r2_row=r2_row)
     else:
         cnt, psum = moments
     safe_cnt = jnp.maximum(cnt, 1.0)
@@ -164,18 +209,19 @@ def seg_ratio_scores(
 
         acc = segratio_accumulate(
             points, mask, ctvec, cfg.radius_mm,
-            normalized=(cfg.sr_type == "CVSN"),
+            normalized=(cfg.sr_type == "CVSN"), r2_row=r2_row,
         )
         pos, neg, ssum = acc[:, 0], acc[:, 1], acc[:, 2]
         return _finalize_scores(points, mask, cfg, cnt, pos, neg, ssum)
 
+    r2_col = r2 if r2_row is None else r2_row[:, None]
     ref_p, ref_m = _ref_tiles(points, mask, tile)
 
     def body(acc, ref):
         rp, rm = ref
         pos, neg, ssum = acc
         d2 = _pair_d2(points, rp)
-        within = (d2 <= r2) & rm[None, :] & mask[:, None]
+        within = (d2 <= r2_col) & rm[None, :] & mask[:, None]
         # dot(ctvec_i, p_j - sp_i) = p_j . ctvec_i - sp_i . ctvec_i  (matmul)
         dots = jnp.dot(ctvec, rp.T, preferred_element_type=jnp.float32) - jnp.sum(
             ctvec * points, axis=-1, keepdims=True

@@ -25,22 +25,33 @@ from bshot_slam_tpu.geometry.eig3 import eigh3
 from bshot_slam_tpu.ops.keypoints import neighborhood_moments
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "tile", "min_neighbors"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "tile", "min_neighbors", "cap")
+)
 def surface_normals(
     points: jnp.ndarray,
     mask: jnp.ndarray,
     radius: float,
     tile: int = 4096,
     min_neighbors: int = 3,
+    cap: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-point unit normals, curvature, and validity.
 
     Returns (normals (N, 3), curvature (N,), valid (N,)).  Normals are
     flipped toward the sensor at the origin (reference: bshot_bits.h:83-86);
     points with fewer than `min_neighbors` neighbors get a zero normal and
-    valid=False (the reference sets NaN — bshot_bits.h:70).
+    valid=False (the reference sets NaN — bshot_bits.h:70).  `cap` enables
+    the reference's 300-neighbor truncation (bshot_bits.h:68) via the
+    shrunk-ball approximation (ops.keypoints.capped_r2_rows).
     """
-    cnt, psum, outer = neighborhood_moments(points, mask, radius, tile)
+    r2_row = None
+    if cap:
+        from bshot_slam_tpu.ops.keypoints import capped_r2_rows
+
+        r2_row = capped_r2_rows(points, mask, radius, cap, tile)
+    cnt, psum, outer = neighborhood_moments(points, mask, radius, tile,
+                                            r2_row=r2_row)
     return normals_from_moments(points, mask, cnt, psum, outer, min_neighbors)
 
 

@@ -197,3 +197,43 @@ def seg_ratio_oracle(points: np.ndarray, radius: float, sr_type: str) -> np.ndar
             keep = nrm != 0
             out[i] = abs((dots[keep] / nrm[keep]).sum()) / nb.shape[0]
     return out
+
+
+def seg_ratio_capped_oracle(
+    points: np.ndarray, radius: float, sr_type: str, cap: int
+) -> np.ndarray:
+    """Seg-ratio saliency with the reference's EXACT neighbor truncation:
+    PCL kd-tree radiusSearch returns the `cap` nearest in-radius points
+    sorted by distance (reference: lidar_odometry.cpp:70 max 300)."""
+    n = points.shape[0]
+    out = np.full(n, np.nan, np.float64)
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    r2 = radius * radius
+    for i in range(n):
+        if points[i, 0] == 0 and points[i, 1] == 0 and points[i, 2] == 0:
+            continue
+        idx = np.where(d2[i] <= r2)[0]
+        if idx.size == 0:
+            continue
+        idx = idx[np.argsort(d2[i][idx], kind="stable")][:cap]
+        nb = points[idx]
+        ct = nb.mean(axis=0)
+        sp = points[i]
+        ctvec = sp - ct
+        rel = nb - sp
+        dots = rel @ ctvec
+        if sr_type == "CV":
+            pos = float((dots > 0).sum())
+            neg = float((dots < 0).sum())
+            mx = max(pos, neg)
+            out[i] = 1.0 - min(pos, neg) / mx if mx > 0 else np.nan
+        elif sr_type == "CVS":
+            keep = (np.linalg.norm(ctvec) != 0) & (
+                np.linalg.norm(rel, axis=1) != 0
+            )
+            out[i] = abs(dots[keep].sum()) / nb.shape[0]
+        elif sr_type == "CVSN":
+            nrm = np.linalg.norm(ctvec) * np.linalg.norm(rel, axis=1)
+            keep = nrm != 0
+            out[i] = abs((dots[keep] / nrm[keep]).sum()) / nb.shape[0]
+    return out

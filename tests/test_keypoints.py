@@ -34,6 +34,63 @@ def test_scores_match_oracle(rng, sr_type):
     assert np.all(got[~mask] == -np.inf)
 
 
+def test_neighbor_cap_mode_tracks_exact_truncation(rng):
+    """The shrunk-ball cap (capped_r2_rows) must land measurably closer to
+    the reference's exact 300-nearest truncation than the uncapped path on
+    a density-skewed scene, and the resulting top-k keypoint sets must
+    mostly agree with the exact-capped oracle (quantified divergence,
+    VERDICT r2 item 9)."""
+    from tests.oracles import seg_ratio_capped_oracle, seg_ratio_oracle
+
+    rng2 = np.random.default_rng(99)
+    n, pad = 320, 384
+    pts = np.zeros((pad, 3), np.float32)
+    mask = np.zeros(pad, bool)
+    # Heavy density skew: a tight blob (most counts >> cap) + sparse field.
+    blob = rng2.normal(0, 400, (n // 2, 3)) + [1000, 0, 0]
+    field = rng2.uniform(-6000, 6000, (n - n // 2, 3))
+    pts[:n] = np.concatenate([blob, field]).astype(np.float32)
+    mask[:n] = True
+    cap = 40
+    cfg = KeypointConfig(sr_type="CV", neighbor_cap=cap,
+                         neighbor_cap_mode=True)
+
+    got = np.asarray(
+        kp.seg_ratio_scores(jnp.asarray(pts), jnp.asarray(mask), cfg,
+                            tile=128)
+    )[mask]
+    exact = seg_ratio_capped_oracle(pts[mask].astype(np.float64),
+                                    cfg.radius_mm, "CV", cap)
+    uncapped = seg_ratio_oracle(pts[mask].astype(np.float64),
+                                cfg.radius_mm, "CV")
+
+    fin = np.isfinite(exact) & np.isfinite(uncapped) & np.isfinite(got)
+    err_capped = np.abs(got[fin] - exact[fin]).mean()
+    err_uncapped = np.abs(uncapped[fin] - exact[fin]).mean()
+    # The approximation must beat ignoring the cap entirely...
+    assert err_capped < err_uncapped, (err_capped, err_uncapped)
+    # ...and be close in absolute terms (scores live in [0, 1] for CV).
+    assert err_capped < 0.12, err_capped
+
+    # Keypoint-set agreement with the exact-capped oracle.
+    k = 32
+    top_got = set(np.argsort(-np.nan_to_num(got, nan=-1))[:k])
+    top_exact = set(np.argsort(-np.nan_to_num(exact, nan=-1))[:k])
+    overlap = len(top_got & top_exact) / k
+    assert overlap >= 0.6, overlap
+
+
+def test_neighbor_cap_off_is_unchanged(rng):
+    pts, mask = _cloud(rng)
+    base = KeypointConfig(sr_type="CV")
+    capped_off = KeypointConfig(sr_type="CV", neighbor_cap_mode=False)
+    a = np.asarray(kp.seg_ratio_scores(jnp.asarray(pts), jnp.asarray(mask),
+                                       base, tile=128))
+    b = np.asarray(kp.seg_ratio_scores(jnp.asarray(pts), jnp.asarray(mask),
+                                       capped_off, tile=128))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_extract_topk(rng):
     pts, mask = _cloud(rng)
     cfg = KeypointConfig(top_k=32)

@@ -31,7 +31,10 @@ def small_cfg():
 @pytest.mark.slow
 def test_short_sequence_ate():
     cfg = small_cfg()
-    n_frames = 6
+    # 10 frames / 2.7 m: long enough that the ~130 mm registration noise
+    # floor sits well under the 8%-of-path bound, so the assert measures
+    # drift rather than the floor.
+    n_frames = 10
     sweeps, gt = synthetic.render_sequence(
         n_frames, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
         n_firings=cfg.sensor.n_azimuth,
@@ -45,7 +48,10 @@ def test_short_sequence_ate():
     gt_pos = gt_rel[:, :3, 3]
     err = ate_rmse(traj, gt_pos, align=False)
     total_len = np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum()
-    assert err < 0.25 * total_len, (err, total_len)
+    # Measured performance is ~4-6% of path length; 8% leaves headroom for
+    # numeric drift while still failing on a real quality regression
+    # (VERDICT r2 item 5: the old 25% bound let a 6x regression pass).
+    assert err < 0.08 * total_len, (err, total_len)
     # Matching must actually engage: inliers above the gate on later frames.
     assert all(r.n_inliers >= 15 for r in eng.records[1:]), [
         r.n_inliers for r in eng.records
@@ -119,6 +125,31 @@ def test_bucketed_step_matches_full_capacity():
         np.asarray(diag_full.pose), np.asarray(diag_cut.pose), atol=1e-4
     )
     assert int(diag_full.map_size) == int(diag_cut.map_size)
+
+
+def test_pipelined_engine_matches_sync():
+    """Pipelined mode (deferred diagnostics fetch, host/device overlap)
+    must produce the identical records, just lagged until flush()."""
+    cfg = small_cfg()
+    sweeps, _ = synthetic.render_sequence(
+        4, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    sync = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        sync.process_sweep(sw)
+    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True)
+    rets = [pipe.process_sweep(sw) for sw in sweeps]
+    assert rets[0] is None  # first call has nothing finalized yet
+    assert all(r is not None for r in rets[1:])
+    last = pipe.flush()
+    assert last is not None and pipe.flush() is None
+    assert len(pipe.records) == len(sync.records) == len(sweeps)
+    for a, b in zip(pipe.records, sync.records):
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+        assert (a.n_inliers, a.n_mutual, a.map_size, a.gated) == (
+            b.n_inliers, b.n_mutual, b.map_size, b.gated
+        )
 
 
 def test_pick_bucket_ladder():

@@ -128,3 +128,38 @@ def test_run_odometry_live_udp(tmp_path):
     assert proc.returncode == 0, stdout[-2000:]
     assert "frame    1" in stdout
     assert len(out.read_text().strip().splitlines()) == 2
+
+
+@pytest.mark.slow
+def test_run_odometry_live_view_and_step(tmp_path):
+    """--live writes an atomic SVG/JSON/HTML view during the run; --step
+    pauses per frame and 'c' releases it (stdin-driven, headless analog of
+    odometry_test.cpp:339-386)."""
+    live = tmp_path / "live"
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(TOOLS, "run_odometry.py"),
+         "--synthetic", "3", "--n-azimuth", "256", "--cpu",
+         "--live", str(live), "--live-every", "1", "--step"],
+        capture_output=True, text=True, timeout=600, env=env,
+        input="\nc\n",  # step once, then free-run
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "[step]" in proc.stdout
+    svg = (live / "live.svg").read_text()
+    assert "<svg" in svg and "polyline" in svg and "map keypoints" in svg
+    assert (live / "live.html").exists()
+    import json as _json
+
+    stats = _json.loads((live / "live.json").read_text())
+    assert stats["frame"] == 3
+    assert stats["map_size"] > 0
+
+
+@pytest.mark.slow
+def test_run_odometry_adversarial_neighbor_cap(tmp_path):
+    stdout = run_tool(
+        "run_odometry.py", "--synthetic", "2", "--n-azimuth", "256",
+        "--cpu", "--adversarial", "--neighbor-cap",
+    )
+    assert "frame    1" in stdout

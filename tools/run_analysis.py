@@ -38,6 +38,7 @@ def _load_sweeps(args, cfg):
         sweeps, _ = synthetic.render_sequence(
             args.synthetic, cfg.sensor, step_mm=args.step_mm, noise_mm=20.0,
             seed=0, n_firings=cfg.sensor.n_azimuth,
+            adversarial=getattr(args, "adversarial", False),
         )
         return sweeps
     if not args.pcap:
@@ -223,6 +224,9 @@ def main() -> int:
                     choices=["correspondences", "repeatability", "ground"])
     ap.add_argument("pcap", nargs="?")
     ap.add_argument("--synthetic", type=int, default=0)
+    ap.add_argument("--adversarial", action="store_true",
+                    help="synthetic: hardened scene (undulation, clutter, "
+                         "self-car returns)")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--skip", type=int, default=0)
     ap.add_argument("--n-azimuth", type=int, default=0)

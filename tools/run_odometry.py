@@ -54,6 +54,10 @@ def main() -> int:
                     help="skip initial sweeps (reference Start_Frame)")
     ap.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
     ap.add_argument("--sr-type", choices=["CV", "CVS", "CVSN"], default="CV")
+    ap.add_argument("--neighbor-cap", action="store_true",
+                    help="reference-parity mode: cap neighborhoods at "
+                         "~300 nearest (lidar_odometry.cpp:70) via "
+                         "per-point shrunk balls")
     ap.add_argument("--no-icp", action="store_true")
     ap.add_argument("--eval-corr", action="store_true",
                     help="print per-frame correspondence distance stats "
@@ -72,9 +76,23 @@ def main() -> int:
                     help="stop live capture after this many idle seconds")
     ap.add_argument("--noise", type=float, default=20.0, metavar="MM",
                     help="synthetic: per-point range noise sigma (mm)")
+    ap.add_argument("--adversarial", action="store_true",
+                    help="synthetic: hardened scene (ground undulation, low "
+                         "clutter, self-car returns)")
     ap.add_argument("--yaw-rate", type=float, default=0.0,
                     help="synthetic: constant yaw per frame (rad); e.g. "
                          "2*pi/N drives a closed loop in N frames")
+    ap.add_argument("--live", metavar="DIR",
+                    help="live headless view: refresh DIR/live.svg + "
+                         "live.json during the run (open DIR/live.html in "
+                         "a browser) — the reference's per-frame OpenCV "
+                         "window (odometry_test.cpp:195-345), headless")
+    ap.add_argument("--live-every", type=int, default=5, metavar="N",
+                    help="refresh the live view every N frames")
+    ap.add_argument("--step", action="store_true",
+                    help="single-step: pause after every frame (Enter = "
+                         "next, c = free-run, q = quit) — the reference's "
+                         "stopFlag loop (odometry_test.cpp:339-386)")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the frame loop to "
                          "DIR (view with xprof/tensorboard; the TPU "
@@ -123,7 +141,10 @@ def main() -> int:
         )
     cfg = dataclasses.replace(
         cfg,
-        keypoints=dataclasses.replace(cfg.keypoints, sr_type=args.sr_type),
+        keypoints=dataclasses.replace(
+            cfg.keypoints, sr_type=args.sr_type,
+            neighbor_cap_mode=args.neighbor_cap,
+        ),
         match=dataclasses.replace(cfg.match, run_icp=not args.no_icp),
     )
 
@@ -140,6 +161,7 @@ def main() -> int:
         sweeps, gt_poses = synthetic.render_sequence(
             args.synthetic, cfg.sensor, step_mm=400.0, noise_mm=args.noise,
             seed=0, yaw_rate_rad=args.yaw_rate, n_firings=cfg.sensor.n_azimuth,
+            adversarial=args.adversarial,
         )
     else:
         if not args.pcap:
@@ -178,6 +200,16 @@ def main() -> int:
 
     from bshot_slam_tpu.utils.profiling import trace
 
+    live = None
+    if args.live:
+        from bshot_slam_tpu.viz.live import LiveView
+
+        live = LiveView(args.live, every=args.live_every)
+        print(f"live view -> {args.live}/live.html")
+    gold_traj = None
+    if args.gold:
+        gold_traj = traj_io.load_xyz(args.gold)
+    stepping = args.step
     prof = contextlib.ExitStack()
     if args.profile:
         prof.enter_context(trace(args.profile))
@@ -196,8 +228,21 @@ def main() -> int:
         if args.eval_corr:
             m, s, md = rec.corr_stats
             print(f"      corr dist mm: mean={m:.1f} sd={s:.1f} median={md:.1f}")
+        if live:
+            live.maybe_update(eng, gold_traj)
+        if stepping:
+            try:
+                ans = input("[step] Enter=next  c=continue  q=quit > ")
+            except EOFError:
+                ans = "c"
+            if ans.strip().lower().startswith("q"):
+                break
+            if ans.strip().lower().startswith("c"):
+                stepping = False
     total = time.perf_counter() - t_start
     prof.close()
+    if live and eng.records:
+        live.update(eng, gold_traj)
     if args.profile:
         print(f"profiler trace -> {args.profile}")
     n = len(eng.records)
