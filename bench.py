@@ -85,7 +85,7 @@ def main(n_frames: int = 100) -> None:
     capacity = cfg.map.capacity  # 131072: prefill 64k + inserts, no regrow
 
     def fresh_engine():
-        eng = SlamEngine(cfg, seed=0, pipelined=True)
+        eng = SlamEngine(cfg, seed=0, pipelined=True, fetch_every=8)
         eng.state = eng.state._replace(map=_prefilled_map(cfg, capacity))
         return eng
 
@@ -125,12 +125,16 @@ def main(n_frames: int = 100) -> None:
     state = pipeline.init_state(cfg)._replace(map=_prefilled_map(cfg, capacity))
     key = jax.random.PRNGKey(0)
     tile = cfg.runtime.point_tile
-    for i in range(4):  # shapes are warm from the engine passes
+    # Warm every distinct cloud bucket (the engine pass may have used
+    # different hysteresis buckets, so its compiles don't all transfer).
+    warmed = set()
+    for pts, pm in clouds:
+        if pts.shape[0] in warmed:
+            continue
+        warmed.add(pts.shape[0])
         key, sub = jax.random.split(key)
-        state, diag = pipeline.odometry_step(
-            state, *clouds[i], sub, cfg, tile
-        )
-    jax.block_until_ready(state)
+        state, diag = pipeline.odometry_step(state, pts, pm, sub, cfg, tile)
+    _ = int(state.frame_idx)  # fence
     t0 = time.perf_counter()
     for pts, pmask in clouds:
         key, sub = jax.random.split(key)

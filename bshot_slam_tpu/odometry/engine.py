@@ -12,6 +12,7 @@ queue replaced by XLA's async dispatch.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -23,6 +24,20 @@ from bshot_slam_tpu.io.velodyne import LaserSweep
 from bshot_slam_tpu.odometry import mapstore, pipeline
 from bshot_slam_tpu.ops import preprocess as pp
 from bshot_slam_tpu.ops.rangeimage import build_range_image
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "bucket"))
+def _ingest(range_mm, azimuth_rad, vert_rad, selected, cfg, bucket: int):
+    """Fused preprocess + cloud extraction + bucket slice + valid count —
+    one device dispatch per frame (dispatch count is the host-side cost on
+    remoted backends)."""
+    res = pp.preprocess(range_mm, azimuth_rad, vert_rad, cfg)
+    sel = jnp.asarray(selected) if selected is not None else jnp.ones_like(
+        res.valid
+    )
+    points, pmask = pp.extract_cloud(res, sel, cfg.max_points)
+    n_valid = jnp.sum(pmask.astype(jnp.int32))
+    return points[:bucket], pmask[:bucket], n_valid
 
 
 def pick_bucket(n_valid: int, cfg: SlamConfig) -> int:
@@ -56,7 +71,7 @@ class SlamEngine:
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
-                 pipelined: bool = False):
+                 pipelined: bool = False, fetch_every: int = 1):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
@@ -73,8 +88,16 @@ class SlamEngine:
         # frame's record (None on the first call); call flush() at the end.
         # Incompatible with the backend (keyframing needs this frame's pose).
         self.pipelined = pipelined and not enable_backend
-        self._pending_diag = None
+        # Pipelined mode: stack and fetch diagnostics for this many frames
+        # in ONE device->host transfer (records lag up to fetch_every-1
+        # frames until the next drain/flush).  Each transfer is one RPC on
+        # remoted backends, so this divides the dominant per-frame latency.
+        self.fetch_every = max(1, fetch_every)
+        self._pending: list = []  # [(diag, packed_ext device array)]
         self._cursor_ub = None
+        self._next_bucket = None  # deferred-count bucket (pipelined mode)
+        self._bucket_floor = 0
+        self._warned_bucket = False
         self.state = pipeline.init_state(cfg)
         # Start the map at the smallest capacity bucket; _maybe_grow_map
         # widens it (one recompile per bucket) as the map fills.
@@ -109,49 +132,100 @@ class SlamEngine:
         vert_rad: np.ndarray,
         selected: Optional[np.ndarray] = None,
     ) -> FrameRecord:
-        res = pp.preprocess(
-            jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
-            jnp.asarray(vert_rad), self.cfg.preprocess,
-        )
-        sel = (
-            jnp.asarray(selected) if selected is not None
-            else jnp.ones_like(res.valid)
-        )
-        points, pmask = pp.extract_cloud(
-            res, sel, self.cfg.preprocess.max_points
-        )
         # Capacity bucketing: extract_cloud front-compacts kept points, so
         # slicing to the smallest bucket >= n_valid preserves every valid
         # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
         # Pallas grid steps on typical urban frames).
-        b = pick_bucket(int(jnp.sum(pmask)), self.cfg)
-        if b < points.shape[0]:
-            points, pmask = points[:b], pmask[:b]
-        return self.process_cloud(points, pmask)
+        if self.pipelined and self._next_bucket is not None:
+            # Remote fetches are the per-frame bottleneck (one tunnel RPC
+            # each); bucket from the PREVIOUS frame's count (delivered free
+            # inside its packed diagnostics) with 15% headroom instead of
+            # syncing on this frame's count.  If a frame overflows its
+            # bucket the overflow count is warned once and the floor rises.
+            # One dispatch covers preprocess + compaction + slice + count.
+            points, pmask, n_valid_dev = _ingest(
+                jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
+                jnp.asarray(vert_rad),
+                jnp.asarray(selected) if selected is not None else None,
+                self.cfg.preprocess, self._next_bucket,
+            )
+        else:
+            points, pmask, n_valid_dev = _ingest(
+                jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
+                jnp.asarray(vert_rad),
+                jnp.asarray(selected) if selected is not None else None,
+                self.cfg.preprocess, self.cfg.preprocess.max_points,
+            )
+            b = pick_bucket(int(n_valid_dev), self.cfg)
+            if b < points.shape[0]:
+                points, pmask = points[:b], pmask[:b]
+        return self.process_cloud(points, pmask, n_valid_dev)
 
-    def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray):
+    def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray,
+                      n_valid_dev: Optional[jnp.ndarray] = None):
         self._maybe_grow_map()
         self.key, sub = jax.random.split(self.key)
+        if self.pipelined:
+            # The pre-slice cloud count rides inside packed (one fetch
+            # covers diagnostics + the bucket feedback loop).
+            nv = (
+                n_valid_dev if n_valid_dev is not None
+                else jnp.sum(pmask.astype(jnp.int32))
+            )
+            self.state, diag = pipeline.odometry_step(
+                self.state, points, pmask, sub, self.cfg, self.tile,
+                n_valid=nv,
+            )
+            try:
+                # Start the device->host copy now so the drain reads a
+                # landed buffer instead of paying the RPC latency.
+                diag.packed.copy_to_host_async()
+            except Exception:
+                pass  # backend without async host copies
+            self._pending.append((diag, diag.packed))
+            if len(self._pending) > self.fetch_every:
+                return self._drain(keep=1)
+            return self.records[-1] if self.records else None
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
         )
-        if self.pipelined:
-            prev, self._pending_diag = self._pending_diag, diag
-            return self._finalize(prev) if prev is not None else None
-        return self._finalize(diag)
+        return self._finalize(diag, np.asarray(diag.packed))
 
     def flush(self) -> Optional[FrameRecord]:
-        """Pipelined mode: finalize the in-flight frame (call after the last
-        process_* call; returns its record, or None if nothing pending)."""
-        if self._pending_diag is None:
-            return None
-        diag, self._pending_diag = self._pending_diag, None
-        return self._finalize(diag)
+        """Pipelined mode: finalize all in-flight frames (call after the
+        last process_* call; returns the final record, or None)."""
+        return self._drain(keep=0)
 
-    def _finalize(self, diag) -> FrameRecord:
+    def _drain(self, keep: int) -> Optional[FrameRecord]:
+        """Fetch + finalize pending diagnostics down to `keep` in flight;
+        one stacked transfer covers every drained frame."""
+        n = len(self._pending) - keep
+        if n <= 0:
+            return None
+        batch, self._pending = self._pending[:n], self._pending[n:]
+        pks = np.asarray(jnp.stack([p for _, p in batch]))  # (n, 29)
+        rec = None
+        for (diag, _), pk in zip(batch, pks):
+            n_valid, bucket = int(pk[27]), int(pk[28])
+            if n_valid > bucket and not self._warned_bucket:
+                self._warned_bucket = True
+                import warnings
+
+                warnings.warn(
+                    f"pipelined bucket {bucket} overflowed ({n_valid} valid "
+                    f"points; tail dropped) — raising the bucket floor",
+                    stacklevel=2,
+                )
+            self._bucket_floor = max(self._bucket_floor, n_valid)
+            self._next_bucket = pick_bucket(
+                max(int(1.15 * n_valid), self._bucket_floor), self.cfg
+            )
+            rec = self._finalize(diag, pk[:27])
+        return rec
+
+    def _finalize(self, diag, pk: np.ndarray) -> FrameRecord:
         # One host fetch for all scalar diagnostics (pipeline packs them),
         # instead of seven round trips — dominant cost on remoted devices.
-        pk = np.asarray(diag.packed)
         rec = FrameRecord(
             pose=pk[:16].reshape(4, 4),
             n_inliers=int(pk[17]),

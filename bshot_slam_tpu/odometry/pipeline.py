@@ -263,8 +263,13 @@ def odometry_step(
     key: jax.Array,
     cfg: SlamConfig,
     tile: int = 2048,
+    n_valid: jnp.ndarray | None = None,
 ) -> tuple[OdometryState, StepDiagnostics]:
-    """One full SLAM frame (reference main loop: odometry_test.cpp:185-193)."""
+    """One full SLAM frame (reference main loop: odometry_test.cpp:185-193).
+
+    `n_valid` (pre-slice cloud count) optionally rides along in `packed`
+    (+[n_valid, bucket] tail) so pipelined drivers learn it in the same
+    device->host transfer as the diagnostics."""
     src = compute_features(points, pmask, cfg, tile)
 
     (T_best, rr, matches, n_mutual, gate, h_diff, t_diff,
@@ -304,6 +309,12 @@ def odometry_step(
         corr_stats,
         new_map.n_dropped.astype(jnp.float32)[None],
     ])
+    if n_valid is not None:
+        packed = jnp.concatenate([
+            packed,
+            n_valid.astype(jnp.float32)[None],
+            jnp.float32(points.shape[0])[None],
+        ])
     diag = StepDiagnostics(
         pose=T_best,
         n_mutual=n_mutual,

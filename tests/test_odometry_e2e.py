@@ -152,6 +152,27 @@ def test_pipelined_engine_matches_sync():
         )
 
 
+def test_pipelined_batched_fetch_matches_sync():
+    """fetch_every > 1 (one stacked diagnostics transfer per K frames) must
+    still finalize every frame identically after flush()."""
+    cfg = small_cfg()
+    sweeps, _ = synthetic.render_sequence(
+        5, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    sync = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        sync.process_sweep(sw)
+    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True, fetch_every=3)
+    for sw in sweeps:
+        pipe.process_sweep(sw)
+    pipe.flush()
+    assert len(pipe.records) == len(sync.records) == len(sweeps)
+    for a, b in zip(pipe.records, sync.records):
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+        assert (a.n_inliers, a.map_size) == (b.n_inliers, b.map_size)
+
+
 def test_pick_bucket_ladder():
     from bshot_slam_tpu.config import default_config
     from bshot_slam_tpu.odometry.engine import pick_bucket

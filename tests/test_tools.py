@@ -163,3 +163,46 @@ def test_run_odometry_adversarial_neighbor_cap(tmp_path):
         "--cpu", "--adversarial", "--neighbor-cap",
     )
     assert "frame    1" in stdout
+
+
+@pytest.mark.slow
+def test_run_pointpicking_html_picker(tmp_path):
+    """--html embeds the exact frame points (base64 int16 cm) and the
+    client-side crop-cube math matches the headless --box path."""
+    import base64
+    import json
+    import re
+
+    import numpy as np
+
+    html_path = tmp_path / "picker.html"
+    run_tool("run_pointpicking.py", "--synthetic", "1", "--n-azimuth", "256",
+             "--html", str(html_path))
+    html = html_path.read_text()
+    assert "<canvas id='top'" in html and "<canvas id='side'" in html
+    m = re.search(r"const frames = (\[.*?\]);", html, re.S)
+    frames = json.loads(m.group(1))
+    assert len(frames) == 1
+    q = np.frombuffer(base64.b64decode(frames[0]["b64"]), np.int16)
+    q = q.reshape(-1, 3).astype(np.float64) * 10.0  # cm -> mm
+    assert q.shape[0] == frames[0]["n"]
+
+    # Headless ground truth for one box.
+    out = tmp_path / "sel.txt"
+    box = ["-5000", "5000", "-5000", "5000", "-3000", "3000"]
+    run_tool("run_pointpicking.py", "--synthetic", "1", "--n-azimuth", "256",
+             "--box", *box, "--out", str(out))
+    want = {int(t) for t in out.read_text().split()}
+
+    # The JS selection math (inside box, skip 0,0,0 no-returns), in numpy.
+    b = [float(v) for v in box]
+    no_ret = np.all(q == 0, axis=1)
+    sel = (
+        (q[:, 0] >= b[0]) & (q[:, 0] <= b[1]) & (q[:, 1] >= b[2])
+        & (q[:, 1] <= b[3]) & (q[:, 2] >= b[4]) & (q[:, 2] <= b[5])
+        & ~no_ret
+    )
+    got = set(np.nonzero(sel)[0].tolist())
+    # int16-cm quantization moves boundary points; demand near-identity.
+    assert len(got ^ want) <= 0.02 * max(len(want), 1), (
+        len(got), len(want), len(got ^ want))
