@@ -89,3 +89,104 @@ def decode_pcap_native(
             )
         )
     return sweeps
+
+
+class _VdStreamOpaque(ctypes.Structure):
+    pass
+
+
+def _load_stream_api(lib):
+    if getattr(lib, "_stream_api", False):
+        return lib
+    lib.vd_stream_open.restype = ctypes.POINTER(_VdStreamOpaque)
+    lib.vd_stream_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_float, ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.vd_stream_next.restype = ctypes.c_int
+    lib.vd_stream_next.argtypes = [
+        ctypes.POINTER(_VdStreamOpaque),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.vd_stream_close.argtypes = [ctypes.POINTER(_VdStreamOpaque)]
+    lib._stream_api = True
+    return lib
+
+
+class NativeSweepStream:
+    """Producer/consumer PCAP ingest, fully native: a C++ background thread
+    parses packets and bins each rotation into upload-ready dense
+    (n_rings, n_azimuth) range/azimuth tensors behind a bounded queue — the
+    reference's capture-thread architecture (VelodyneCapture.h:172,78-80)
+    with the range-image build moved into the producer.
+
+    Iterate to receive `ops.rangeimage.RangeImage` objects; close() (or the
+    context manager / garbage collection) releases the thread.
+    """
+
+    def __init__(self, path: str, sensor: SensorConfig, skip: int = 0,
+                 queue: int = 4):
+        from bshot_slam_tpu.ops.rangeimage import sorted_vertical_angles_rad
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native decoder not built (make -C native)")
+        _load_stream_api(lib)
+        self._lib = lib
+        row_of_ring = np.argsort(
+            np.argsort(np.asarray(sensor.vertical_angles_deg), kind="stable"),
+            kind="stable",
+        ).astype(np.int32)
+        self._handle = lib.vd_stream_open(
+            path.encode(), sensor.n_rings, sensor.n_azimuth,
+            row_of_ring.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_float(sensor.distance_scale_mm), skip, queue,
+        )
+        if not self._handle:
+            raise RuntimeError(f"cannot open {path!r} as a pcap capture")
+        self._shape = (sensor.n_rings, sensor.n_azimuth)
+        self._vert = sorted_vertical_angles_rad(sensor)
+
+    def __iter__(self):
+        from bshot_slam_tpu.ops.rangeimage import RangeImage
+
+        while self._handle:
+            rng = np.empty(self._shape, np.float32)
+            az = np.empty(self._shape, np.float32)
+            ok = self._lib.vd_stream_next(
+                self._handle,
+                rng.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                az.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            if not ok:
+                break
+            yield RangeImage(
+                range_mm=rng, azimuth_rad=az, vert_rad=self._vert,
+                selected=np.ones(self._shape, bool),
+            )
+        self.close()
+
+    def close(self):
+        h, self._handle = self._handle, None
+        if h:
+            self._lib.vd_stream_close(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def stream_available() -> bool:
+    lib = _load()
+    if lib is None:
+        return False
+    return hasattr(lib, "vd_stream_open")

@@ -125,6 +125,18 @@ class SlamEngine:
             ri.range_mm, ri.azimuth_rad, ri.vert_rad, ri.selected
         )
 
+    def process_frame(self, frame):
+        """Dispatch on ingest type: a raw LaserSweep (host-side binning) or
+        an upload-ready RangeImage (e.g. from io.native_decoder.
+        NativeSweepStream, where the C++ producer thread already binned)."""
+        from bshot_slam_tpu.ops.rangeimage import RangeImage
+
+        if isinstance(frame, RangeImage):
+            return self.process_range_image(
+                frame.range_mm, frame.azimuth_rad, frame.vert_rad
+            )
+        return self.process_sweep(frame)
+
     def process_range_image(
         self,
         range_mm: np.ndarray,

@@ -178,3 +178,214 @@ void vd_free(DecodedCapture* c) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Streaming loader: background producer thread + bounded sweep queue +
+// dense range-image binning, all native.
+//
+// This is the architectural equivalent of the reference's capture thread
+// (reference: VelodyneCapture.h:172,212 — std::thread producer decoding
+// packets into a mutex-guarded queue the main loop pops, 78-80,290-303),
+// extended TPU-side: the producer also BINS each rotation into the dense
+// (n_rings, n_azimuth) range/azimuth tensors the device consumes
+// (bshot_slam_tpu/ops/rangeimage.py semantics: row = rank of the ring's
+// vertical angle, col = floor(az/360*A) clamped, later firing wins, empty
+// cells hold range 0 and the azimuth bin center), so the Python host loop
+// receives upload-ready frames with zero per-frame Python work.
+
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct SweepImage {
+  std::vector<float> range_mm;
+  std::vector<float> azimuth_rad;
+};
+
+constexpr double kPi = 3.14159265358979323846;
+
+}  // namespace
+
+struct VdStream {
+  int n_rings = 0;
+  int n_azimuth = 0;
+  float distance_scale_mm = 2.0f;
+  std::vector<int32_t> row_of_ring;
+  std::vector<float> bin_centers;  // azimuth bin centers, radians
+  int skip = 0;
+  size_t queue_cap = 4;
+
+  std::thread producer;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<SweepImage*> q;
+  bool done = false;
+  bool closing = false;
+
+  std::vector<uint8_t> buf;  // whole capture (mirrors vd_decode_pcap IO)
+
+  void reset_image(SweepImage* im) const {
+    im->range_mm.assign(static_cast<size_t>(n_rings) * n_azimuth, 0.0f);
+    im->azimuth_rad.resize(static_cast<size_t>(n_rings) * n_azimuth);
+    for (int r = 0; r < n_rings; ++r)
+      std::memcpy(im->azimuth_rad.data() + static_cast<size_t>(r) * n_azimuth,
+                  bin_centers.data(), n_azimuth * sizeof(float));
+  }
+
+  void emit(SweepImage*& cur) {
+    SweepImage* ready = cur;
+    cur = new SweepImage();
+    reset_image(cur);
+    if (skip > 0) {  // start-frame fast-forward (VelodyneCapture.h:491-497)
+      --skip;
+      delete ready;
+      return;
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] { return q.size() < queue_cap || closing; });
+    if (closing) {
+      delete ready;
+      return;
+    }
+    q.push_back(ready);
+    cv_push.notify_one();
+  }
+
+  void run() {
+    SweepImage* cur = new SweepImage();
+    reset_image(cur);
+    double last_azimuth = -1.0;
+    size_t off = 24;
+    while (off + sizeof(PcapRecordHeader) <= buf.size()) {
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        if (closing) break;
+      }
+      PcapRecordHeader rec;
+      std::memcpy(&rec, buf.data() + off, sizeof(rec));
+      off += sizeof(rec);
+      if (off + rec.incl_len > buf.size()) break;
+      if (static_cast<int>(rec.incl_len) - kLinkHeader != kPacketSize) {
+        off += rec.incl_len;
+        continue;
+      }
+      DataPacket pkt;
+      std::memcpy(&pkt, buf.data() + off + kLinkHeader, kPacketSize);
+      off += rec.incl_len;
+
+      double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
+                   static_cast<double>(pkt.firings[0].rotational_position);
+      if (d01 < 0) d01 += 36000.0;
+      d01 *= 0.5;
+
+      for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
+        const FiringData& fd = pkt.firings[fi];
+        for (int li = 0; li < kLasersPerFiring; ++li) {
+          double az = static_cast<double>(fd.rotational_position);
+          if (li >= n_rings) az += d01;
+          if (az >= 36000.0) az -= 36000.0;
+          if (last_azimuth > az) emit(cur);  // rotation boundary
+          const int ring = li % n_rings;
+          const double az_deg = az / 100.0;
+          int col = static_cast<int>(az_deg / 360.0 * n_azimuth);
+          if (col > n_azimuth - 1) col = n_azimuth - 1;
+          const size_t cell =
+              static_cast<size_t>(row_of_ring[ring]) * n_azimuth + col;
+          cur->range_mm[cell] =
+              static_cast<float>(fd.returns[ring].distance) *
+              distance_scale_mm;
+          cur->azimuth_rad[cell] =
+              static_cast<float>(az_deg * kPi / 180.0);
+          last_azimuth = az;
+        }
+      }
+    }
+    delete cur;  // trailing incomplete rotation is dropped
+    std::lock_guard<std::mutex> lk(mu);
+    done = true;
+    cv_push.notify_all();
+  }
+};
+
+extern "C" {
+
+// Open a streaming decode of `path`.  `row_of_ring` maps firing ring id ->
+// vertical-angle-sorted row (length n_rings).  Returns nullptr when the
+// file is unreadable or not a little-endian classic pcap.
+VdStream* vd_stream_open(const char* path, int n_rings, int n_azimuth,
+                         const int32_t* row_of_ring,
+                         float distance_scale_mm, int skip, int queue_cap) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (size < 24) {
+    std::fclose(f);
+    return nullptr;
+  }
+  auto* s = new VdStream();
+  s->buf.resize(static_cast<size_t>(size));
+  if (std::fread(s->buf.data(), 1, s->buf.size(), f) != s->buf.size()) {
+    std::fclose(f);
+    delete s;
+    return nullptr;
+  }
+  std::fclose(f);
+  uint32_t magic;
+  std::memcpy(&magic, s->buf.data(), 4);
+  if (magic != 0xA1B2C3D4u && magic != 0xA1B23C4Du) {
+    delete s;
+    return nullptr;
+  }
+  s->n_rings = n_rings;
+  s->n_azimuth = n_azimuth;
+  s->distance_scale_mm = distance_scale_mm;
+  s->row_of_ring.assign(row_of_ring, row_of_ring + n_rings);
+  s->skip = skip;
+  s->queue_cap = queue_cap > 0 ? queue_cap : 4;
+  s->bin_centers.resize(n_azimuth);
+  for (int a = 0; a < n_azimuth; ++a)
+    s->bin_centers[a] =
+        static_cast<float>((a + 0.5) * 2.0 * kPi / n_azimuth);
+  s->producer = std::thread([s] { s->run(); });
+  return s;
+}
+
+// Pop the next sweep into caller-owned (n_rings*n_azimuth) float buffers.
+// Blocks while the producer is behind; returns 1 on success, 0 at end.
+int vd_stream_next(VdStream* s, float* range_mm, float* azimuth_rad) {
+  if (!s) return 0;
+  SweepImage* im = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_push.wait(lk, [&] { return !s->q.empty() || s->done; });
+    if (s->q.empty()) return 0;
+    im = s->q.front();
+    s->q.pop_front();
+    s->cv_pop.notify_one();
+  }
+  std::memcpy(range_mm, im->range_mm.data(),
+              im->range_mm.size() * sizeof(float));
+  std::memcpy(azimuth_rad, im->azimuth_rad.data(),
+              im->azimuth_rad.size() * sizeof(float));
+  delete im;
+  return 1;
+}
+
+void vd_stream_close(VdStream* s) {
+  if (!s) return;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->closing = true;
+    s->cv_pop.notify_all();
+  }
+  if (s->producer.joinable()) s->producer.join();
+  for (auto* im : s->q) delete im;
+  delete s;
+}
+
+}  // extern "C"

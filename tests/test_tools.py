@@ -206,3 +206,19 @@ def test_run_pointpicking_html_picker(tmp_path):
     # int16-cm quantization moves boundary points; demand near-identity.
     assert len(got ^ want) <= 0.02 * max(len(want), 1), (
         len(got), len(want), len(got ^ want))
+
+
+@pytest.mark.slow
+def test_run_odometry_pcap_native_stream(tmp_path):
+    """PCAP ingest through the native producer-thread stream must drive the
+    full pipeline and reproduce the golden trajectory."""
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    out = tmp_path / "traj.txt"
+    stdout = run_tool(
+        "run_odometry.py", os.path.join(fixtures, "golden.pcap"),
+        "--n-azimuth", "512", "--cpu", "--frames", "4",
+        "--out", str(out),
+        "--gold", os.path.join(fixtures, "golden_traj.txt"),
+    )
+    assert "frame    3" in stdout
+    assert "ATE RMSE" in stdout

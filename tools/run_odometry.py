@@ -169,7 +169,18 @@ def main() -> int:
         from bshot_slam_tpu.io import native_decoder
 
         sweeps = None
-        if native_decoder.is_available():
+        if native_decoder.stream_available():
+            # Fully native producer/consumer ingest: a C++ thread parses +
+            # bins rotations into upload-ready tensors behind a bounded
+            # queue, overlapping decode with device compute (the reference
+            # capture-thread architecture, VelodyneCapture.h:172).
+            try:
+                sweeps = native_decoder.NativeSweepStream(
+                    args.pcap, cfg.sensor, skip=args.skip
+                )
+            except RuntimeError:
+                sweeps = None
+        if sweeps is None and native_decoder.is_available():
             sweeps = native_decoder.decode_pcap_native(
                 args.pcap, cfg.sensor, skip=args.skip
             )
@@ -177,11 +188,16 @@ def main() -> int:
             payloads, _ = pcap_io.read_udp_payloads(args.pcap)
             sweeps = velodyne.sweeps_from_payloads(payloads, cfg.sensor,
                                                    skip=args.skip)
-        if not sweeps:
+        if sweeps is None or (isinstance(sweeps, list) and not sweeps):
             print("no complete sweeps found", file=sys.stderr)
             return 1
     if args.frames and not args.udp:  # the UDP iterator caps itself
-        sweeps = sweeps[: args.frames]
+        if isinstance(sweeps, list):
+            sweeps = sweeps[: args.frames]
+        else:
+            import itertools
+
+            sweeps = itertools.islice(sweeps, args.frames)
 
     eng = SlamEngine(cfg, enable_backend=args.backend,
                      backend_every=args.backend_every)
@@ -216,7 +232,7 @@ def main() -> int:
     t_start = time.perf_counter()
     for i, sw in enumerate(sweeps):
         t0 = time.perf_counter()
-        rec = eng.process_sweep(sw)
+        rec = eng.process_frame(sw)
         dt = (time.perf_counter() - t0) * 1e3
         pos = rec.pose[:3, 3]
         print(
