@@ -37,7 +37,12 @@ from bshot_slam_tpu.odometry.pipeline import FrameFeatures, OdometryState
 def make_mesh(devices: Sequence[jax.Device] | None = None,
               axes: Tuple[str, str] = ("data", "map")) -> Mesh:
     """2D mesh over the given devices; the device count is factored as
-    evenly as possible between the two axes."""
+    evenly as possible between the two axes.
+
+    Use power-of-two device counts: every sharded dimension (cloud buckets,
+    map capacities, BA observation padding) is a power of two, so each mesh
+    axis must be one too or GSPMD rejects the sharding.  TPU slices come in
+    powers of two, so this costs nothing in practice."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     d_data = 1

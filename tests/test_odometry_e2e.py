@@ -182,3 +182,30 @@ def test_pick_bucket_ladder():
     assert pick_bucket(8192, cfg) == 8192
     assert pick_bucket(8193, cfg) == 16384
     assert pick_bucket(10**6, cfg) == cfg.preprocess.max_points
+
+
+@pytest.mark.slow
+def test_vlp16_end_to_end():
+    """The full pipeline runs on the 16-ring VLP-16 geometry (reference:
+    VelodyneCapture.h:530-566) — sensor config is the only difference."""
+    from bshot_slam_tpu.config import VLP16_SENSOR
+    import dataclasses
+
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg, sensor=dataclasses.replace(VLP16_SENSOR, n_azimuth=512)
+    )
+    sweeps, gt = synthetic.render_sequence(
+        4, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=21,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    eng = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        rec = eng.process_sweep(sw)
+    assert all(r.n_inliers >= cfg.match.gate_min_inliers
+               for r in eng.records[1:])
+    gt_rel = np.linalg.inv(gt[0])[None] @ gt
+    err = ate_rmse(eng.trajectory, gt_rel[:, :3, 3], align=False)
+    # 16 rings = half the returns of the HDL-32E; allow a looser bound.
+    path = np.linalg.norm(np.diff(gt_rel[:, :3, 3], axis=0), axis=1).sum()
+    assert err < 0.25 * path, (err, path)

@@ -128,3 +128,20 @@ def test_sharded_ba_matches_dense():
     np.testing.assert_allclose(np.asarray(dist.landmarks),
                                np.asarray(dense.landmarks), rtol=1e-3,
                                atol=1.0)
+
+
+def test_dryrun_larger_meshes():
+    """The sharded step must compile and run across the power-of-two mesh
+    ladder (sharded axes must divide the power-of-two capacities, and TPU
+    slices are power-of-two — see make_mesh docstring)."""
+    for n in (2, 4, 8):
+        if n > len(jax.devices()):
+            pytest.skip("needs 8 virtual devices")
+        cfg = tiny_config()
+        mesh = sharded.make_mesh(jax.devices()[:n])
+        step, shard_state = sharded.sharded_odometry_step(mesh, cfg, tile=256)
+        state = shard_state(pipeline.init_state(cfg))
+        pts, pmask, key = _inputs(cfg, seed=n)
+        out, diag = step(state, pts, pmask, key)
+        jax.block_until_ready(out)
+        assert int(diag.map_size) > 0
