@@ -242,3 +242,48 @@ class TestEngineCorrections:
         ).copy()
         s2 = eng.apply_backend_corrections()
         assert s2["max_correction_mm"] < 1.0
+
+
+@pytest.mark.slow
+def test_appearance_channel_on_real_descriptors():
+    """On a rendered loop trajectory, loop closures must still be found
+    with the proximity channel DISABLED (lc_max_dist_mm=0): retrieval runs
+    purely on B-SHOT bag-of-words similarity of real pipeline descriptors."""
+    from bshot_slam_tpu.io import synthetic
+    from bshot_slam_tpu.odometry.engine import SlamEngine
+    from tests.test_odometry_e2e import small_cfg
+
+    n = 12
+    cfg = small_cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        backend=dataclasses.replace(
+            cfg.backend,
+            keyframe_every=1,
+            lc_min_gap=8,
+            lc_max_dist_mm=0.0,  # proximity channel off
+            lc_min_inliers=20,
+            lc_appearance_top=4,
+        ),
+    )
+    sweeps, gt = synthetic.render_sequence(
+        n, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=4,
+        yaw_rate_rad=2 * np.pi / n, n_firings=cfg.sensor.n_azimuth,
+    )
+    eng = SlamEngine(cfg, seed=0, tile=1024, enable_backend=True)
+    for sw in sweeps:
+        eng.process_sweep(sw)
+    assert int(eng.keyframes.count) >= n - 1
+    _, edges = eng.optimize_backend(max_candidates=6)
+    assert len(edges) >= 1, "appearance retrieval found no loop"
+    # The verified closure must span the loop (temporally distant pair).
+    gaps = [abs(e.kf_i - e.kf_j) for e in edges]
+    assert max(gaps) >= 8, gaps
+    # And its measurement must be metrically sane: consistent with the
+    # ground-truth relative pose of the two keyframes.
+    kf_idx = np.asarray(eng.keyframes.frame_idx[: int(eng.keyframes.count)])
+    gt_rel = np.linalg.inv(gt[0])[None] @ gt
+    e = max(edges, key=lambda e: abs(e.kf_i - e.kf_j))
+    z_true = np.linalg.inv(gt_rel[kf_idx[e.kf_i]]) @ gt_rel[kf_idx[e.kf_j]]
+    err = np.linalg.inv(e.z) @ z_true
+    assert np.linalg.norm(err[:3, 3]) < 500.0
