@@ -46,6 +46,33 @@ class BAResult(NamedTuple):
     final_cost: jnp.ndarray
 
 
+def _inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    TPU-batched `jnp.linalg.inv` lowers to per-matrix LU loops with
+    terrible throughput at (L, 3, 3) scale; the cofactor formula is pure
+    fused elementwise math.  Inputs here are damped SPD blocks, so the
+    determinant is safely positive.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    adj = jnp.stack(
+        [
+            jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _prepare(poses, landmarks, prob: BAProblem):
     R = poses[prob.obs_kf, :3, :3]  # (O, 3, 3)
     t = poses[prob.obs_kf, :3, 3]
@@ -88,11 +115,24 @@ def ba_solve(
         r, _, _ = _prepare(poses, landmarks, prob)
         return 0.5 * jnp.sum(r * r)
 
+    # TPU scatter-adds with duplicate unsorted indices serialize badly;
+    # pre-sorting each reduction axis once per solve turns every
+    # segment_sum in the CG loop into a sorted (fast-path) reduction at the
+    # cost of one 0(O)-row gather.
+    perm_kf = jnp.argsort(prob.obs_kf, stable=True)
+    ids_kf = prob.obs_kf[perm_kf]
+    perm_lm = jnp.argsort(prob.obs_lm, stable=True)
+    ids_lm = prob.obs_lm[perm_lm]
+
     def seg_kf(x):
-        return jax.ops.segment_sum(x, prob.obs_kf, num_segments=M)
+        return jax.ops.segment_sum(
+            x[perm_kf], ids_kf, num_segments=M, indices_are_sorted=True
+        )
 
     def seg_lm(x):
-        return jax.ops.segment_sum(x, prob.obs_lm, num_segments=L)
+        return jax.ops.segment_sum(
+            x[perm_lm], ids_lm, num_segments=L, indices_are_sorted=True
+        )
 
     def gn_step(carry, _):
         poses, landmarks, lam = carry
@@ -103,7 +143,7 @@ def ba_solve(
 
         Hll = seg_lm(jnp.einsum("oik,oij->okj", Jl, Jl))  # (L, 3, 3)
         Hll = Hll + (lam + 1e-6) * jnp.broadcast_to(jnp.eye(3), Hll.shape)
-        Hll_inv = jnp.linalg.inv(Hll)
+        Hll_inv = _inv3(Hll)
 
         # Block-diag of the pose Hessian (preconditioner + damping).
         Hpp_blk = seg_kf(jnp.einsum("oik,oij->okj", Jp, Jp))  # (M, 6, 6)

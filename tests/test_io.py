@@ -136,3 +136,43 @@ def test_udp_capture_loopback():
     finally:
         cap.close()
     assert not cap.is_run()
+
+
+def test_corrupt_pcap_inputs_fail_gracefully(tmp_path):
+    """Garbage, truncated, and wrong-magic captures must raise/return
+    cleanly in both the Python and native paths (never crash or hang)."""
+    import pytest
+
+    from bshot_slam_tpu.config import default_config
+    from bshot_slam_tpu.io import native_decoder, pcap
+
+    cfg = default_config()
+    garbage = tmp_path / "garbage.pcap"
+    garbage.write_bytes(b"this is not a pcap file at all, sorry" * 10)
+    trunc = tmp_path / "trunc.pcap"
+    # full 24-byte global header, zero records
+    trunc.write_bytes(b"\xd4\xc3\xb2\xa1" + b"\x00" * 20)
+    empty = tmp_path / "empty.pcap"
+    empty.write_bytes(b"")
+
+    # Graceful = zero payloads or a clean exception, never a crash/hang.
+    for p in (garbage, empty, trunc):
+        try:
+            payloads, _ = pcap.read_udp_payloads(str(p))
+            assert len(payloads) == 0, p
+        except Exception:
+            pass
+
+    if native_decoder.is_available():
+        for p in (garbage, empty, trunc):
+            out = native_decoder.decode_pcap_native(str(p), cfg.sensor)
+            assert out is None or out == []
+    if native_decoder.stream_available():
+        import pytest as _pytest
+
+        for p in (garbage, empty):
+            with _pytest.raises(RuntimeError):
+                native_decoder.NativeSweepStream(str(p), cfg.sensor)
+        # truncated-after-magic: opens, yields nothing, closes cleanly
+        s = native_decoder.NativeSweepStream(str(trunc), cfg.sensor)
+        assert list(s) == []
