@@ -71,7 +71,8 @@ class SlamEngine:
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
-                 pipelined: bool = False, fetch_every: int = 1):
+                 pipelined: bool = False, fetch_every: int = 1,
+                 chunk: int = 0):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
@@ -87,13 +88,21 @@ class SlamEngine:
         # (VelodyneCapture.h:172-212).  process_* then returns the PREVIOUS
         # frame's record (None on the first call); call flush() at the end.
         # Incompatible with the backend (keyframing needs this frame's pose).
-        self.pipelined = pipelined and not enable_backend
+        self.pipelined = (pipelined or chunk > 0) and not enable_backend
+        # Chunk mode (throughput): buffer K range images host-side and run
+        # them as ONE lax.scan dispatch (`pipeline.odometry_step_chunk`) —
+        # O(1) tunnel round trips per chunk instead of O(K) per frame.
+        # Bit-identical to the other modes; records lag until flush().
+        self.chunk = chunk if self.pipelined else 0
+        self._chunk_buf: list = []  # host (2, R, A) stacked range images
+        self._last_vert: Optional[np.ndarray] = None
         # Pipelined mode: stack and fetch diagnostics for this many frames
         # in ONE device->host transfer (records lag up to fetch_every-1
         # frames until the next drain/flush).  Each transfer is one RPC on
         # remoted backends, so this divides the dominant per-frame latency.
         self.fetch_every = max(1, fetch_every)
         self._pending: list = []  # [(diag, packed_ext device array)]
+        self._vert_cache: dict = {}  # vert-angle bytes -> device array
         self._cursor_ub = None
         self._next_bucket = None  # deferred-count bucket (pipelined mode)
         self._bucket_floor = 0
@@ -148,19 +157,48 @@ class SlamEngine:
         # slicing to the smallest bucket >= n_valid preserves every valid
         # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
         # Pallas grid steps on typical urban frames).
+        sel_trivial = selected is None or bool(np.all(selected))
+        if self.chunk and self._next_bucket is not None and sel_trivial:
+            self._last_vert = np.asarray(vert_rad, np.float32)
+            self._chunk_buf.append(np.stack(
+                [np.asarray(range_mm, np.float32),
+                 np.asarray(azimuth_rad, np.float32)]
+            ))
+            if len(self._chunk_buf) >= self.chunk:
+                return self._dispatch_chunk(self.chunk)
+            return self.records[-1] if self.records else None
+        if self._chunk_buf:
+            # A labeled frame (real select-list) interleaves with chunking:
+            # flush buffered frames first to preserve order.
+            self._flush_chunk_buf()
         if self.pipelined and self._next_bucket is not None:
             # Remote fetches are the per-frame bottleneck (one tunnel RPC
             # each); bucket from the PREVIOUS frame's count (delivered free
             # inside its packed diagnostics) with 15% headroom instead of
             # syncing on this frame's count.  If a frame overflows its
             # bucket the overflow count is warned once and the floor rises.
-            # One dispatch covers preprocess + compaction + slice + count.
-            points, pmask, n_valid_dev = _ingest(
-                jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
-                jnp.asarray(vert_rad),
-                jnp.asarray(selected) if selected is not None else None,
-                self.cfg.preprocess, self._next_bucket,
+            # ONE fused dispatch covers preprocess + compaction + slice +
+            # count + PRNG split + the whole odometry step, and the range
+            # image uploads as one stacked buffer (vertical angles are
+            # cached device-resident) — the per-frame host cost collapses
+            # to one upload + one dispatch.
+            self._maybe_grow_map()
+            range_az = np.stack(
+                [np.asarray(range_mm, np.float32),
+                 np.asarray(azimuth_rad, np.float32)]
             )
+            # The default select mask is all-True; skip its upload (the
+            # fused step treats None as select-everything).
+            sel = selected
+            if sel is not None and bool(np.all(sel)):
+                sel = None
+            self.state, self.key, diag = pipeline.odometry_step_fused(
+                self.state, self.key, jnp.asarray(range_az),
+                self._device_vert(vert_rad),
+                jnp.asarray(sel) if sel is not None else None,
+                self.cfg.preprocess, self.cfg, self._next_bucket, self.tile,
+            )
+            return self._enqueue(diag)
         else:
             points, pmask, n_valid_dev = _ingest(
                 jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
@@ -168,10 +206,50 @@ class SlamEngine:
                 jnp.asarray(selected) if selected is not None else None,
                 self.cfg.preprocess, self.cfg.preprocess.max_points,
             )
-            b = pick_bucket(int(n_valid_dev), self.cfg)
+            nv = int(n_valid_dev)
+            b = pick_bucket(nv, self.cfg)
             if b < points.shape[0]:
                 points, pmask = points[:b], pmask[:b]
+            if self.pipelined:
+                # Bootstrap the deferred-bucket feedback loop immediately
+                # (we already paid this frame's count sync) so frame 1
+                # onward takes the fused/chunked single-dispatch path.
+                self._bucket_floor = max(self._bucket_floor, nv)
+                self._next_bucket = pick_bucket(
+                    max(int(1.15 * nv), self._bucket_floor), self.cfg
+                )
         return self.process_cloud(points, pmask, n_valid_dev)
+
+    def _dispatch_chunk(self, size: int) -> Optional[FrameRecord]:
+        """Run `size` buffered range images as one scan dispatch."""
+        self._maybe_grow_map(n_frames=size)
+        arr = np.stack(self._chunk_buf[:size])
+        del self._chunk_buf[:size]
+        self.state, self.key, packed = pipeline.odometry_step_chunk(
+            self.state, self.key, jnp.asarray(arr),
+            self._device_vert(self._last_vert),
+            self.cfg.preprocess, self.cfg, self._next_bucket, self.tile,
+        )
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending.append((None, packed))  # (K, 29) chunk entry
+        if len(self._pending) > 1:
+            return self._drain(keep=1)
+        return self.records[-1] if self.records else None
+
+    def _flush_chunk_buf(self) -> Optional[FrameRecord]:
+        """Dispatch any buffered frames in power-of-two sub-chunks (each
+        distinct size compiles once; persistent-cached across runs)."""
+        rec = None
+        while self._chunk_buf:
+            size = 1
+            while size * 2 <= min(len(self._chunk_buf), self.chunk):
+                size *= 2
+            rec = self._dispatch_chunk(size)
+        return rec
+
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray,
                       n_valid_dev: Optional[jnp.ndarray] = None):
@@ -188,52 +266,87 @@ class SlamEngine:
                 self.state, points, pmask, sub, self.cfg, self.tile,
                 n_valid=nv,
             )
-            try:
-                # Start the device->host copy now so the drain reads a
-                # landed buffer instead of paying the RPC latency.
-                diag.packed.copy_to_host_async()
-            except Exception:
-                pass  # backend without async host copies
-            self._pending.append((diag, diag.packed))
-            if len(self._pending) > self.fetch_every:
-                return self._drain(keep=1)
-            return self.records[-1] if self.records else None
+            return self._enqueue(diag)
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
         )
         return self._finalize(diag, np.asarray(diag.packed))
 
+    def _enqueue(self, diag) -> Optional[FrameRecord]:
+        """Pipelined mode: queue a frame's diagnostics for a later batched
+        fetch; returns the newest already-finalized record (lagged)."""
+        try:
+            # Start the device->host copy now so the drain reads a landed
+            # buffer instead of paying the RPC latency.
+            diag.packed.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies
+        self._pending.append((diag, diag.packed))
+        if len(self._pending) > self.fetch_every:
+            return self._drain(keep=1)
+        return self.records[-1] if self.records else None
+
+    def _device_vert(self, vert_rad: np.ndarray) -> jnp.ndarray:
+        """Cache the (tiny, per-sensor-constant) vertical-angle vector on
+        device so the fused path never re-uploads it."""
+        k = np.asarray(vert_rad, np.float32).tobytes()
+        dev = self._vert_cache.get(k)
+        if dev is None:
+            dev = jnp.asarray(np.frombuffer(k, np.float32))
+            self._vert_cache[k] = dev
+        return dev
+
     def flush(self) -> Optional[FrameRecord]:
-        """Pipelined mode: finalize all in-flight frames (call after the
-        last process_* call; returns the final record, or None)."""
+        """Pipelined/chunk mode: finalize all in-flight frames (call after
+        the last process_* call; returns the final record, or None)."""
+        if self._chunk_buf:
+            self._flush_chunk_buf()
         return self._drain(keep=0)
 
     def _drain(self, keep: int) -> Optional[FrameRecord]:
-        """Fetch + finalize pending diagnostics down to `keep` in flight;
-        one stacked transfer covers every drained frame."""
+        """Fetch + finalize pending diagnostics down to `keep` in flight,
+        oldest first.  Entries are either per-frame (diag, (29,) packed) or
+        chunk (None, (K, 29) packed); consecutive per-frame entries fetch
+        as one stacked transfer, each chunk is already one transfer."""
         n = len(self._pending) - keep
         if n <= 0:
             return None
         batch, self._pending = self._pending[:n], self._pending[n:]
-        pks = np.asarray(jnp.stack([p for _, p in batch]))  # (n, 29)
         rec = None
-        for (diag, _), pk in zip(batch, pks):
-            n_valid, bucket = int(pk[27]), int(pk[28])
-            if n_valid > bucket and not self._warned_bucket:
-                self._warned_bucket = True
-                import warnings
-
-                warnings.warn(
-                    f"pipelined bucket {bucket} overflowed ({n_valid} valid "
-                    f"points; tail dropped) — raising the bucket floor",
-                    stacklevel=2,
-                )
-            self._bucket_floor = max(self._bucket_floor, n_valid)
-            self._next_bucket = pick_bucket(
-                max(int(1.15 * n_valid), self._bucket_floor), self.cfg
-            )
-            rec = self._finalize(diag, pk[:27])
+        i = 0
+        while i < len(batch):
+            if batch[i][1].ndim == 2:  # chunk entry
+                for pk in np.asarray(batch[i][1]):
+                    rec = self._finalize_row(None, pk)
+                i += 1
+                continue
+            j = i
+            while j < len(batch) and batch[j][1].ndim == 1:
+                j += 1
+            pks = np.asarray(jnp.stack([p for _, p in batch[i:j]]))
+            for (diag, _), pk in zip(batch[i:j], pks):
+                rec = self._finalize_row(diag, pk)
+            i = j
         return rec
+
+    def _finalize_row(self, diag, pk: np.ndarray) -> FrameRecord:
+        """Finalize one packed row with its [n_valid, bucket] tail: bucket
+        feedback + overflow warning, then the standard record build."""
+        n_valid, bucket = int(pk[27]), int(pk[28])
+        if n_valid > bucket and not self._warned_bucket:
+            self._warned_bucket = True
+            import warnings
+
+            warnings.warn(
+                f"pipelined bucket {bucket} overflowed ({n_valid} valid "
+                f"points; tail dropped) — raising the bucket floor",
+                stacklevel=2,
+            )
+        self._bucket_floor = max(self._bucket_floor, n_valid)
+        self._next_bucket = pick_bucket(
+            max(int(1.15 * n_valid), self._bucket_floor), self.cfg
+        )
+        return self._finalize(diag, pk[:27])
 
     def _finalize(self, diag, pk: np.ndarray) -> FrameRecord:
         # One host fetch for all scalar diagnostics (pipeline packs them),
@@ -272,13 +385,15 @@ class SlamEngine:
             rec = self.records[-1]  # pose may have been corrected
         return rec
 
-    def _maybe_grow_map(self) -> None:
+    def _maybe_grow_map(self, n_frames: int = 1) -> None:
         """Pad the map to the next capacity bucket when this frame's insert
         could overflow it (map ops scale with live capacity, so starting
         small and growing keeps matching/ICP/dedup grids minimal).  At the
         hard capacity ceiling, evict lowest-seg-ratio-in-densest-block
         keypoints instead of letting inserts drop silently."""
         cap = self.state.map.positions.shape[0]
+        hard_cap = self.cfg.map.capacity
+        inc = self.cfg.keypoints.top_k * n_frames
         if self.pipelined:
             # Host-side cursor upper bound (each step appends <= top_k), so
             # growth decisions never force a device sync mid-pipeline;
@@ -286,13 +401,19 @@ class SlamEngine:
             if self._cursor_ub is None:
                 self._cursor_ub = int(self.state.map.cursor)
             cursor = self._cursor_ub
-            self._cursor_ub += self.cfg.keypoints.top_k
+            if cursor + inc > min(cap, hard_cap):
+                # The bound is pessimistic (insert dedup rejects most
+                # revisited keypoints), so before an expensive grow/evict
+                # decision re-sync it to the true cursor — one rare fetch
+                # instead of unnecessarily evicting live landmarks.
+                cursor = int(self.state.map.cursor)
+                self._cursor_ub = cursor
+            self._cursor_ub += inc
         else:
             cursor = int(self.state.map.cursor)
-        need = cursor + self.cfg.keypoints.top_k
+        need = cursor + inc
         if need <= cap:
             return
-        hard_cap = self.cfg.map.capacity
         for b in sorted(set(self.cfg.runtime.map_buckets) | {hard_cap}):
             if b >= min(need, hard_cap) and b <= hard_cap and b > cap:
                 self.state = self.state._replace(
@@ -303,7 +424,7 @@ class SlamEngine:
             return
         # At the ceiling: make room for this frame (fixed n_evict so the
         # eviction kernel compiles once).
-        n_evict = min(2 * self.cfg.keypoints.top_k, hard_cap // 2)
+        n_evict = min(2 * self.cfg.keypoints.top_k * n_frames, hard_cap // 2)
         before = int(self.state.map.cursor)
         self.state = self.state._replace(
             map=mapstore.evict_keypoints(self.state.map, n_evict)

@@ -253,10 +253,7 @@ def _match_and_estimate(
             corr_stats)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "tile"), donate_argnames=("state",)
-)
-def odometry_step(
+def _odometry_step_impl(
     state: OdometryState,
     points: jnp.ndarray,
     pmask: jnp.ndarray,
@@ -332,3 +329,106 @@ def odometry_step(
         packed=packed,
     )
     return new_state, diag
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile"), donate_argnames=("state",)
+)
+def odometry_step(
+    state: OdometryState,
+    points: jnp.ndarray,
+    pmask: jnp.ndarray,
+    key: jax.Array,
+    cfg: SlamConfig,
+    tile: int = 2048,
+    n_valid: jnp.ndarray | None = None,
+) -> tuple[OdometryState, StepDiagnostics]:
+    return _odometry_step_impl(state, points, pmask, key, cfg, tile, n_valid)
+
+
+odometry_step.__doc__ = _odometry_step_impl.__doc__
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pcfg", "cfg", "bucket", "tile"),
+    donate_argnames=("state",),
+)
+def odometry_step_fused(
+    state: OdometryState,
+    key: jax.Array,
+    range_az: jnp.ndarray,  # (2, R, A): [range_mm, azimuth_rad]
+    vert_rad: jnp.ndarray,  # (R,)
+    selected: jnp.ndarray | None,
+    pcfg,
+    cfg: SlamConfig,
+    bucket: int,
+    tile: int = 2048,
+) -> tuple[OdometryState, jax.Array, StepDiagnostics]:
+    """Whole frame in ONE device dispatch: preprocessing + cloud extraction
+    + bucket slice + PRNG split + the odometry step.
+
+    The pipelined engine path uses this instead of the separate
+    `_ingest` + `odometry_step` dispatches: on remoted backends each
+    dispatch is a host RPC, so halving the per-frame dispatch count is a
+    direct latency win (the TPU analog of the reference folding its whole
+    frame into one main-loop iteration, odometry_test.cpp:185-193).  The
+    PRNG chain advances with the same `jax.random.split` the host path
+    uses, so results are bit-identical to the unfused path."""
+    from bshot_slam_tpu.ops import preprocess as pp
+
+    res = pp.preprocess(range_az[0], range_az[1], vert_rad, pcfg)
+    sel = selected if selected is not None else jnp.ones_like(res.valid)
+    points, pmask = pp.extract_cloud(res, sel, pcfg.max_points)
+    n_valid = jnp.sum(pmask.astype(jnp.int32))
+    points, pmask = points[:bucket], pmask[:bucket]
+    new_key, sub = jax.random.split(key)
+    new_state, diag = _odometry_step_impl(
+        state, points, pmask, sub, cfg, tile, n_valid=n_valid
+    )
+    return new_state, new_key, diag
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pcfg", "cfg", "bucket", "tile"),
+    donate_argnames=("state",),
+)
+def odometry_step_chunk(
+    state: OdometryState,
+    key: jax.Array,
+    range_az: jnp.ndarray,  # (K, 2, R, A): stacked [range_mm, azimuth_rad]
+    vert_rad: jnp.ndarray,  # (R,)
+    pcfg,
+    cfg: SlamConfig,
+    bucket: int,
+    tile: int = 2048,
+) -> tuple[OdometryState, jax.Array, jnp.ndarray]:
+    """K whole SLAM frames in ONE device dispatch (`lax.scan` over frames).
+
+    Streaming over a remoted device pays a round trip per host<->device
+    operation, so the throughput mode uploads K stacked range images in one
+    transfer, scans the fused frame step K times on device, and returns the
+    (K, 29) packed diagnostics for one batched fetch — O(1) RPCs per chunk
+    instead of O(K).  The PRNG chain advances by the same per-frame
+    `jax.random.split`, so trajectories are bit-identical to the
+    frame-at-a-time modes.  Select-lists are not supported here (chunk mode
+    is for unlabeled throughput runs; drivers fall back per-frame)."""
+    from bshot_slam_tpu.ops import preprocess as pp
+
+    def body(carry, ra):
+        st, k = carry
+        res = pp.preprocess(ra[0], ra[1], vert_rad, pcfg)
+        points, pmask = pp.extract_cloud(
+            res, jnp.ones_like(res.valid), pcfg.max_points
+        )
+        nv = jnp.sum(pmask.astype(jnp.int32))
+        pts, pm = points[:bucket], pmask[:bucket]
+        nk, sub = jax.random.split(k)
+        nst, diag = _odometry_step_impl(
+            st, pts, pm, sub, cfg, tile, n_valid=nv
+        )
+        return (nst, nk), diag.packed
+
+    (state, key), packed = jax.lax.scan(body, (state, key), range_az)
+    return state, key, packed

@@ -173,6 +173,31 @@ def test_pipelined_batched_fetch_matches_sync():
         assert (a.n_inliers, a.map_size) == (b.n_inliers, b.map_size)
 
 
+def test_chunked_engine_matches_sync():
+    """Chunk mode (K frames per lax.scan dispatch, O(1) RPCs per chunk)
+    must reproduce the synchronous records exactly: frame 0 bootstraps the
+    bucket, frames 1+ run as chunks of 3 plus a power-of-two tail."""
+    cfg = small_cfg()
+    sweeps, _ = synthetic.render_sequence(
+        8, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    sync = SlamEngine(cfg, seed=0, tile=1024)
+    for sw in sweeps:
+        sync.process_sweep(sw)
+    ch = SlamEngine(cfg, seed=0, tile=1024, chunk=3)
+    for sw in sweeps:
+        ch.process_sweep(sw)
+    last = ch.flush()
+    assert last is not None
+    assert len(ch.records) == len(sync.records) == len(sweeps)
+    for a, b in zip(ch.records, sync.records):
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+        assert (a.n_inliers, a.n_mutual, a.map_size, a.gated) == (
+            b.n_inliers, b.n_mutual, b.map_size, b.gated
+        )
+
+
 def test_pick_bucket_ladder():
     from bshot_slam_tpu.config import default_config
     from bshot_slam_tpu.odometry.engine import pick_bucket

@@ -35,6 +35,19 @@ def test_run_odometry_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_odometry_chunked(tmp_path):
+    """--chunk runs K frames per dispatch; trajectory must still save every
+    frame after the implicit flush."""
+    out = tmp_path / "traj.txt"
+    stdout = run_tool(
+        "run_odometry.py", "--synthetic", "5", "--n-azimuth", "256",
+        "--cpu", "--chunk", "2", "--out", str(out),
+    )
+    assert "5 frames" in stdout
+    assert len(out.read_text().strip().splitlines()) == 5
+
+
+@pytest.mark.slow
 def test_run_preprocess_eval_synthetic(tmp_path):
     stdout = run_tool(
         "run_preprocess_eval.py", "--synthetic", "1", "--n-azimuth", "256",

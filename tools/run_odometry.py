@@ -109,6 +109,13 @@ def main() -> int:
                     help="with --backend: run loop closure + pose graph + "
                          "map re-anchoring every N frames during the run, "
                          "so later frames match the corrected map")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="throughput mode: defer diagnostics fetches so host "
+                    "work overlaps device compute (records lag; "
+                    "incompatible with --backend)")
+    ap.add_argument("--chunk", type=int, default=0, metavar="K",
+                    help="max-throughput mode: run K frames per device "
+                    "dispatch (lax.scan); implies --pipeline")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -199,8 +206,14 @@ def main() -> int:
 
             sweeps = itertools.islice(sweeps, args.frames)
 
+    pipelined = args.pipeline or args.chunk > 0
+    if pipelined and args.backend:
+        ap.error("--pipeline/--chunk are incompatible with --backend "
+                 "(keyframing needs each frame's pose at frame time)")
     eng = SlamEngine(cfg, enable_backend=args.backend,
-                     backend_every=args.backend_every)
+                     backend_every=args.backend_every,
+                     pipelined=pipelined,
+                     fetch_every=16 if pipelined else 1, chunk=args.chunk)
     prior_traj = None
     if args.resume:
         from bshot_slam_tpu.checkpoint import load_backend, load_state
@@ -234,9 +247,14 @@ def main() -> int:
         t0 = time.perf_counter()
         rec = eng.process_frame(sw)
         dt = (time.perf_counter() - t0) * 1e3
+        if rec is None:  # pipelined/chunked: nothing finalized yet
+            continue
+        # In pipelined/chunk mode records lag the submitted frame; print
+        # the newest finalized frame's index.
+        fi = len(eng.records) - 1 if pipelined else i
         pos = rec.pose[:3, 3]
         print(
-            f"frame {i:4d}  pos=({pos[0]:9.0f},{pos[1]:9.0f},{pos[2]:8.0f})mm  "
+            f"frame {fi:4d}  pos=({pos[0]:9.0f},{pos[1]:9.0f},{pos[2]:8.0f})mm  "
             f"mutual={rec.n_mutual:4d} inliers={rec.n_inliers:4d} "
             f"{'GATED' if rec.gated else '     '} map={rec.map_size:6d}  "
             f"{dt:7.1f}ms"
@@ -255,6 +273,7 @@ def main() -> int:
                 break
             if ans.strip().lower().startswith("c"):
                 stepping = False
+    eng.flush()  # pipelined/chunked: finalize in-flight frames (else no-op)
     total = time.perf_counter() - t_start
     prof.close()
     if live and eng.records:
