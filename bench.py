@@ -4,11 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 headline number is `SlamEngine.process_sweep` end to end (range-image
 build, preprocessing, bucketing, the odometry step, diagnostics fetch)
 over 129 DISTINCT synthetic frames with the global map pre-grown to
->=64k landmarks, in chunk mode (16 frames per lax.scan dispatch — O(1)
-host round trips per chunk).  A frame-at-a-time fused-dispatch number
-(what a live sensor-rate driver uses) and a step-only number (device step
-over prepared clouds, the round-1/2 methodology) are reported on stderr
-for comparison.
+>=64k landmarks, in the pipelined fused mode a live sensor-rate driver
+uses (one fused dispatch per frame, diagnostics fetched every 16 frames).
+
+The headline JSON is printed (and flushed) the moment the timed engine
+pass finishes, BEFORE any optional extras, so a driver timeout mid-extras
+still captures the number.  `--full` additionally reports a step-only
+number (device step over prepared clouds — the round-1/2 methodology) on
+stderr.
 
 Baseline: the reference's only recorded timing is its SR keypoint
 extraction stage at 575-700 ms/frame on a 12-thread CPU
@@ -30,16 +33,15 @@ BASELINE_FPS = 1.0 / 0.65  # reference keypoint stage alone, optimistic
 PREFILL_LANDMARKS = 65536  # >=64k map rows live during every matched frame
 
 
-def _prefilled_map(cfg, capacity: int):
-    """MapState with PREFILL_LANDMARKS random valid landmarks (placed far
-    outside the drive's query window so SLAM quality is unaffected while the
+def _prefilled_map(cfg, capacity: int, n: int = PREFILL_LANDMARKS):
+    """MapState with `n` random valid landmarks (placed far outside the
+    drive's query window so SLAM quality is unaffected while the
     matching/dedup kernels pay the full >=64k-row cost every frame)."""
     import jax.numpy as jnp
 
     from bshot_slam_tpu.odometry import mapstore
 
     rng = np.random.default_rng(42)
-    n = PREFILL_LANDMARKS
     pos = rng.uniform(1.9e6, 2.1e6, (n, 3)).astype(np.float32)
     pos = np.trunc(pos / cfg.map.snap_mm) * cfg.map.snap_mm
     st = mapstore.init_map(cfg.map, capacity)
@@ -59,7 +61,7 @@ def _prefilled_map(cfg, capacity: int):
     )
 
 
-def main(n_frames: int = 100) -> None:
+def main(n_frames: int = 129, full: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -79,8 +81,6 @@ def main(n_frames: int = 100) -> None:
 
     # 100+ DISTINCT frames of a realistic HDL-32E-resolution drive
     # (scene simulation is not SLAM work: rendering stays untimed).
-    # Default 129 = 1 bootstrap frame + 8 full chunks of 16, so chunk mode
-    # compiles exactly one scan length.
     sweeps, _ = synthetic.render_sequence(
         n_frames, sensor, step_mm=400.0, noise_mm=20.0, seed=0,
         n_firings=sensor.n_azimuth, yaw_rate_rad=2 * np.pi / n_frames,
@@ -88,13 +88,13 @@ def main(n_frames: int = 100) -> None:
 
     capacity = cfg.map.capacity  # 131072: prefill 64k + inserts, no regrow
 
-    def fresh_engine(**kw):
-        eng = SlamEngine(cfg, seed=0, pipelined=True, **kw)
+    def fresh_engine():
+        eng = SlamEngine(cfg, seed=0, pipelined=True, fetch_every=16)
         eng.state = eng.state._replace(map=_prefilled_map(cfg, capacity))
         return eng
 
-    def engine_pass(**kw) -> float:
-        eng = fresh_engine(**kw)
+    def engine_pass() -> float:
+        eng = fresh_engine()
         t0 = time.perf_counter()
         for sw in sweeps:
             eng.process_sweep(sw)
@@ -103,27 +103,48 @@ def main(n_frames: int = 100) -> None:
         engine_pass.last = eng
         return n_frames / dt
 
-    # --- warm passes: compile every (cloud bucket x map capacity) shape
-    # for both throughput modes ---
-    for kw in ({"chunk": 16}, {"fetch_every": 16}):
-        warm = fresh_engine(**kw)
-        for sw in sweeps:
-            warm.process_sweep(sw)
-        warm.flush()
+    # Warm pass: compiles every (cloud bucket x map capacity) shape the
+    # timed pass will hit (persistent compile cache makes cold runs rare).
+    warm = fresh_engine()
+    for sw in sweeps:
+        warm.process_sweep(sw)
+    warm.flush()
+    del warm
 
-    # --- honest timed passes: engine end to end ---
-    # Chunk mode (16 frames per lax.scan dispatch, one stacked upload +
-    # one diagnostics fetch per chunk).
-    chunk_fps = engine_pass(chunk=16)
-    # Frame-at-a-time fused mode (one dispatch per frame; what a live
-    # sensor-rate driver uses).  Headline = the better of the two engine
-    # modes (both are real `process_sweep` end-to-end configurations).
-    frame_fps = engine_pass(fetch_every=16)
+    # Honest timed pass: engine end to end, one fused dispatch per frame.
+    engine_fps = engine_pass()
     final = engine_pass.last.records[-1]
-    engine_fps = max(chunk_fps, frame_fps)
+    n_redispatched = engine_pass.last.n_redispatched
+
+    # Headline FIRST (a driver timeout during extras must still parse it).
+    print(
+        json.dumps(
+            {
+                "metric": "engine_frames_per_sec_per_chip",
+                "value": round(engine_fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(engine_fps / BASELINE_FPS, 2),
+            }
+        ),
+        flush=True,
+    )
+    print(
+        f"# honest engine fps (process_sweep e2e, {n_frames} distinct frames,"
+        f" map>={PREFILL_LANDMARKS}): {engine_fps:.1f} | "
+        f"final map={final.map_size} inliers={final.n_inliers} "
+        f"redispatched={n_redispatched} "
+        f"platform={jax.devices()[0].platform}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+    if not full:
+        return
 
     # --- step-only comparison (prior methodology): device-resident clouds,
     # fused step timed alone ---
+    from bshot_slam_tpu.odometry.engine import pick_bucket
+
     clouds = []
     for sw in sweeps:
         ri = build_range_image(sw, sensor)
@@ -134,8 +155,6 @@ def main(n_frames: int = 100) -> None:
         pts, pmask = pp.extract_cloud(
             res, jnp.asarray(ri.selected), cfg.preprocess.max_points
         )
-        from bshot_slam_tpu.odometry.engine import pick_bucket
-
         b = pick_bucket(int(jnp.sum(pmask)), cfg)
         clouds.append((pts[:b], pmask[:b]))
 
@@ -161,27 +180,11 @@ def main(n_frames: int = 100) -> None:
     _ = int(state.frame_idx) + int(diag.map_size)
     dt_step = time.perf_counter() - t0
     step_fps = len(clouds) / dt_step
-
-    print(
-        json.dumps(
-            {
-                "metric": "engine_frames_per_sec_per_chip",
-                "value": round(engine_fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(engine_fps / BASELINE_FPS, 2),
-            }
-        )
-    )
-    print(
-        f"# honest engine fps (process_sweep e2e, {n_frames} distinct frames,"
-        f" map>={PREFILL_LANDMARKS}): chunked {chunk_fps:.1f} | "
-        f"frame-at-a-time {frame_fps:.1f} | step-only {step_fps:.1f} | "
-        f"final map={final.map_size} inliers={final.n_inliers} "
-        f"platform={jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
+    print(f"# step-only (prepared clouds, device step timed alone): "
+          f"{step_fps:.1f} fps", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 129
-    main(n)
+    args = [a for a in sys.argv[1:] if a != "--full"]
+    n = int(args[0]) if args else 129
+    main(n, full="--full" in sys.argv[1:])

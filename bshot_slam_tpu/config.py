@@ -233,7 +233,14 @@ class RuntimeConfig:
     # points and runs the step at the smallest bucket >= n_valid, so the
     # O(N^2) neighborhood grids scale with the live cloud instead of
     # max_points.  One XLA compile per bucket actually used.
-    cloud_buckets: Tuple[int, ...] = (8192, 16384, 32768, 49152)
+    # (24576 matters: urban HDL-32E frames cluster around 15-20k kept
+    # points, and 16384->32768 would double the pair space for them.)
+    cloud_buckets: Tuple[int, ...] = (8192, 16384, 24576, 32768, 49152)
+    # Pipelined bucket predictor: next bucket holds headroom * last count,
+    # floored by a decaying max of recent counts (fast decay tracks scene
+    # shrinkage; slow decay damps overflow thrash on volatile scenes).
+    bucket_headroom: float = 1.15
+    bucket_floor_decay: float = 0.9
     # Map-capacity ladder: the engine starts the global map at the first
     # bucket and zero-pads (recompiling a wider step) when the cursor
     # approaches capacity, so matching/ICP/dedup grids track the map that

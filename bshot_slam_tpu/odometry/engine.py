@@ -3,17 +3,17 @@
 Equivalent of the reference's `odometry_test` driver main loop (reference:
 test/odometry_test.cpp:122-345) without the interactive visualization:
 ingest a sweep, preprocess on device, run the fused odometry step, record
-the trajectory.  All device work is two jitted calls per frame
-(preprocess+extract, odometry step); the host only reshapes numpy buffers —
-the TPU analog of the reference's capture-thread/main-loop split, with the
-queue replaced by XLA's async dispatch.
+the trajectory.  In pipelined mode all device work per frame is ONE fused
+dispatch (preprocess + step + PRNG split) and diagnostics are fetched in
+batches — the TPU analog of the reference's capture-thread/main-loop
+split, with the queue replaced by XLA's async dispatch.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,14 +65,28 @@ class FrameRecord:
     n_dropped: int = 0
 
 
+class _Pending(NamedTuple):
+    """One in-flight pipelined frame awaiting its diagnostics drain."""
+
+    diag: object  # StepDiagnostics (device arrays; features for keyframing)
+    packed: object  # (31,) device array: diag scalars + [n_valid, bucket, ok]
+    ri: Optional[dict]  # host range image for lossless re-dispatch (fused)
+    map_cap: int  # map capacity at dispatch time (tail block offset)
+
+
 class SlamEngine:
     """Streaming scan-to-map odometry over a sweep source, with an optional
-    keyframe/loop-closure/pose-graph backend (no reference counterpart)."""
+    keyframe/loop-closure/pose-graph backend (no reference counterpart).
+
+    `pipelined=True` defers each frame's diagnostics fetch so host work
+    overlaps device compute; the backend composes with it (keyframing runs
+    at drain time from the packed diagnostics + retained device features,
+    and periodic backend passes force a full drain so corrections apply at
+    the exact same frame as the synchronous path)."""
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
-                 pipelined: bool = False, fetch_every: int = 1,
-                 chunk: int = 0):
+                 pipelined: bool = False, fetch_every: int = 1):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
@@ -81,32 +95,31 @@ class SlamEngine:
         # during the run (0 = only when the caller asks), so later frames
         # match against the corrected map.
         self.backend_every = backend_every
-        # Pipelined mode defers each frame's diagnostics fetch to the NEXT
-        # process call, so host work (range-image build, upload) overlaps
-        # the device executing the previous step — the TPU analog of the
-        # reference's capture-thread/main-loop overlap
-        # (VelodyneCapture.h:172-212).  process_* then returns the PREVIOUS
-        # frame's record (None on the first call); call flush() at the end.
-        # Incompatible with the backend (keyframing needs this frame's pose).
-        self.pipelined = (pipelined or chunk > 0) and not enable_backend
-        # Chunk mode (throughput): buffer K range images host-side and run
-        # them as ONE lax.scan dispatch (`pipeline.odometry_step_chunk`) —
-        # O(1) tunnel round trips per chunk instead of O(K) per frame.
-        # Bit-identical to the other modes; records lag until flush().
-        self.chunk = chunk if self.pipelined else 0
-        self._chunk_buf: list = []  # host (2, R, A) stacked range images
-        self._last_vert: Optional[np.ndarray] = None
+        # Pipelined mode defers each frame's diagnostics fetch, so host
+        # work (range-image build, upload) overlaps the device executing
+        # the previous step — the TPU analog of the reference's
+        # capture-thread/main-loop overlap (VelodyneCapture.h:172-212).
+        # process_* then returns the newest FINALIZED frame's record (None
+        # until one exists); call flush() at the end.
+        self.pipelined = pipelined
         # Pipelined mode: stack and fetch diagnostics for this many frames
         # in ONE device->host transfer (records lag up to fetch_every-1
         # frames until the next drain/flush).  Each transfer is one RPC on
         # remoted backends, so this divides the dominant per-frame latency.
         self.fetch_every = max(1, fetch_every)
-        self._pending: list = []  # [(diag, packed_ext device array)]
+        self._pending: List[_Pending] = []
         self._vert_cache: dict = {}  # vert-angle bytes -> device array
         self._cursor_ub = None
         self._next_bucket = None  # deferred-count bucket (pipelined mode)
         self._bucket_floor = 0
-        self._warned_bucket = False
+        # Lossless-bucketing state: device-side "pipeline healthy" flag
+        # (cleared by an overflowing fused step, cascading the abort to all
+        # later in-flight frames) and the count of frames re-dispatched at
+        # their exact bucket after an overflow.  No data is ever dropped
+        # (the reference emits every kept return: preprocess.cpp:201-216).
+        self._ok = jnp.asarray(True)
+        self.n_redispatched = 0
+        self._frames_in = 0  # frames submitted (dispatched), host-side
         self.state = pipeline.init_state(cfg)
         # Start the map at the smallest capacity bucket; _maybe_grow_map
         # widens it (one recompile per bucket) as the map fills.
@@ -157,122 +170,94 @@ class SlamEngine:
         # slicing to the smallest bucket >= n_valid preserves every valid
         # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
         # Pallas grid steps on typical urban frames).
-        sel_trivial = selected is None or bool(np.all(selected))
-        if self.chunk and self._next_bucket is not None and sel_trivial:
-            self._last_vert = np.asarray(vert_rad, np.float32)
-            self._chunk_buf.append(np.stack(
-                [np.asarray(range_mm, np.float32),
-                 np.asarray(azimuth_rad, np.float32)]
-            ))
-            if len(self._chunk_buf) >= self.chunk:
-                return self._dispatch_chunk(self.chunk)
-            return self.records[-1] if self.records else None
-        if self._chunk_buf:
-            # A labeled frame (real select-list) interleaves with chunking:
-            # flush buffered frames first to preserve order.
-            self._flush_chunk_buf()
-        if self.pipelined and self._next_bucket is not None:
+        if self.pipelined:
             # Remote fetches are the per-frame bottleneck (one tunnel RPC
             # each); bucket from the PREVIOUS frame's count (delivered free
             # inside its packed diagnostics) with 15% headroom instead of
-            # syncing on this frame's count.  If a frame overflows its
-            # bucket the overflow count is warned once and the floor rises.
-            # ONE fused dispatch covers preprocess + compaction + slice +
-            # count + PRNG split + the whole odometry step, and the range
-            # image uploads as one stacked buffer (vertical angles are
-            # cached device-resident) — the per-frame host cost collapses
-            # to one upload + one dispatch.
-            self._maybe_grow_map()
+            # syncing on this frame's count.  Overflows never lose data:
+            # the fused step aborts (state passthrough) and the host
+            # re-dispatches at the exact bucket (see _redispatch).
             range_az = np.stack(
                 [np.asarray(range_mm, np.float32),
                  np.asarray(azimuth_rad, np.float32)]
             )
+            if self._next_bucket is None:
+                # One-time bootstrap: sync on this frame's exact count to
+                # seed the bucket feedback loop (the only count sync in a
+                # pipelined run).
+                _, _, n_valid_dev = _ingest(
+                    jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
+                    jnp.asarray(vert_rad),
+                    jnp.asarray(selected) if selected is not None else None,
+                    self.cfg.preprocess, self.cfg.preprocess.max_points,
+                )
+                nv = int(n_valid_dev)
+                self._bucket_floor = nv
+                self._next_bucket = pick_bucket(
+                    int(self.cfg.runtime.bucket_headroom * nv), self.cfg
+                )
+            bucket = self._next_bucket
+            self._maybe_grow_map()
             # The default select mask is all-True; skip its upload (the
             # fused step treats None as select-everything).
             sel = selected
             if sel is not None and bool(np.all(sel)):
                 sel = None
-            self.state, self.key, diag = pipeline.odometry_step_fused(
-                self.state, self.key, jnp.asarray(range_az),
-                self._device_vert(vert_rad),
+            vert_np = np.asarray(vert_rad, np.float32)
+            cap = self.state.map.positions.shape[0]
+            self.state, self.key, self._ok, diag = pipeline.odometry_step_fused(
+                self.state, self.key, self._ok, jnp.asarray(range_az),
+                self._device_vert(vert_np),
                 jnp.asarray(sel) if sel is not None else None,
-                self.cfg.preprocess, self.cfg, self._next_bucket, self.tile,
+                self.cfg.preprocess, self.cfg, bucket, self.tile,
             )
-            return self._enqueue(diag)
-        else:
-            points, pmask, n_valid_dev = _ingest(
-                jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
-                jnp.asarray(vert_rad),
-                jnp.asarray(selected) if selected is not None else None,
-                self.cfg.preprocess, self.cfg.preprocess.max_points,
-            )
-            nv = int(n_valid_dev)
-            b = pick_bucket(nv, self.cfg)
-            if b < points.shape[0]:
-                points, pmask = points[:b], pmask[:b]
-            if self.pipelined:
-                # Bootstrap the deferred-bucket feedback loop immediately
-                # (we already paid this frame's count sync) so frame 1
-                # onward takes the fused/chunked single-dispatch path.
-                self._bucket_floor = max(self._bucket_floor, nv)
-                self._next_bucket = pick_bucket(
-                    max(int(1.15 * nv), self._bucket_floor), self.cfg
-                )
-        return self.process_cloud(points, pmask, n_valid_dev)
-
-    def _dispatch_chunk(self, size: int) -> Optional[FrameRecord]:
-        """Run `size` buffered range images as one scan dispatch."""
-        self._maybe_grow_map(n_frames=size)
-        arr = np.stack(self._chunk_buf[:size])
-        del self._chunk_buf[:size]
-        self.state, self.key, packed = pipeline.odometry_step_chunk(
-            self.state, self.key, jnp.asarray(arr),
-            self._device_vert(self._last_vert),
-            self.cfg.preprocess, self.cfg, self._next_bucket, self.tile,
+            ri = {"range_az": range_az, "vert": vert_np, "sel": sel}
+            return self._enqueue(diag, ri, cap)
+        points, pmask, n_valid_dev = _ingest(
+            jnp.asarray(range_mm), jnp.asarray(azimuth_rad),
+            jnp.asarray(vert_rad),
+            jnp.asarray(selected) if selected is not None else None,
+            self.cfg.preprocess, self.cfg.preprocess.max_points,
         )
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass
-        self._pending.append((None, packed))  # (K, 29) chunk entry
-        if len(self._pending) > 1:
-            return self._drain(keep=1)
-        return self.records[-1] if self.records else None
-
-    def _flush_chunk_buf(self) -> Optional[FrameRecord]:
-        """Dispatch any buffered frames in power-of-two sub-chunks (each
-        distinct size compiles once; persistent-cached across runs)."""
-        rec = None
-        while self._chunk_buf:
-            size = 1
-            while size * 2 <= min(len(self._chunk_buf), self.chunk):
-                size *= 2
-            rec = self._dispatch_chunk(size)
-        return rec
-
+        nv = int(n_valid_dev)
+        b = pick_bucket(nv, self.cfg)
+        if b < points.shape[0]:
+            points, pmask = points[:b], pmask[:b]
+        return self.process_cloud(points, pmask, n_valid_dev)
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray,
                       n_valid_dev: Optional[jnp.ndarray] = None):
+        if self.pipelined and any(e.ri is not None for e in self._pending):
+            # Mixed fused/pre-sliced usage: the plain step below has no
+            # abort cascade, so an in-flight fused overflow could be
+            # silently built upon.  Drain the fused frames first (rare:
+            # callers normally stick to one ingest path).
+            self._drain(keep=0)
         self._maybe_grow_map()
         self.key, sub = jax.random.split(self.key)
         if self.pipelined:
             # The pre-slice cloud count rides inside packed (one fetch
-            # covers diagnostics + the bucket feedback loop).
+            # covers diagnostics + the bucket feedback loop).  Points are
+            # already sliced to a bucket >= n_valid by the caller, so this
+            # path cannot overflow (committed is constant 1).
             nv = (
                 n_valid_dev if n_valid_dev is not None
                 else jnp.sum(pmask.astype(jnp.int32))
             )
+            cap = self.state.map.positions.shape[0]
             self.state, diag = pipeline.odometry_step(
                 self.state, points, pmask, sub, self.cfg, self.tile,
                 n_valid=nv,
             )
-            return self._enqueue(diag)
+            return self._enqueue(diag, None, cap)
         self.state, diag = pipeline.odometry_step(
             self.state, points, pmask, sub, self.cfg, self.tile
         )
-        return self._finalize(diag, np.asarray(diag.packed))
+        return self._finalize(diag, np.asarray(diag.packed),
+                              self.state.map.positions.shape[0])
 
-    def _enqueue(self, diag) -> Optional[FrameRecord]:
+    def _enqueue(self, diag, ri: Optional[dict],
+                 map_cap: int) -> Optional[FrameRecord]:
         """Pipelined mode: queue a frame's diagnostics for a later batched
         fetch; returns the newest already-finalized record (lagged)."""
         try:
@@ -281,9 +266,25 @@ class SlamEngine:
             diag.packed.copy_to_host_async()
         except Exception:
             pass  # backend without async host copies
-        self._pending.append((diag, diag.packed))
-        if len(self._pending) > self.fetch_every:
-            return self._drain(keep=1)
+        self._pending.append(_Pending(diag, diag.packed, ri, map_cap))
+        self._frames_in += 1
+        rec = None
+        if (
+            self.enable_backend
+            and self.backend_every
+            and self._frames_in % self.backend_every == 0
+        ):
+            # Periodic backend pass: drain the whole pipeline first so the
+            # corrections land at exactly the same frame as in synchronous
+            # mode (one stall every backend_every frames).
+            rec = self._drain(keep=0)
+        elif len(self._pending) > self.fetch_every:
+            # (Eagerly draining rows whose async copy has landed sounds
+            # attractive but measured 2x SLOWER through the axon tunnel —
+            # every is_ready poll/fetch is an RPC.  Batched drains it is.)
+            rec = self._drain(keep=1)
+        if rec is not None:
+            return rec
         return self.records[-1] if self.records else None
 
     def _device_vert(self, vert_rad: np.ndarray) -> jnp.ndarray:
@@ -297,62 +298,88 @@ class SlamEngine:
         return dev
 
     def flush(self) -> Optional[FrameRecord]:
-        """Pipelined/chunk mode: finalize all in-flight frames (call after
-        the last process_* call; returns the final record, or None)."""
-        if self._chunk_buf:
-            self._flush_chunk_buf()
+        """Pipelined mode: finalize all in-flight frames (call after the
+        last process_* call; returns the final record, or None)."""
         return self._drain(keep=0)
 
     def _drain(self, keep: int) -> Optional[FrameRecord]:
         """Fetch + finalize pending diagnostics down to `keep` in flight,
-        oldest first.  Entries are either per-frame (diag, (29,) packed) or
-        chunk (None, (K, 29) packed); consecutive per-frame entries fetch
-        as one stacked transfer, each chunk is already one transfer."""
+        oldest first, as one stacked device->host transfer.  An uncommitted
+        row (bucket overflow) diverts every later in-flight frame to the
+        lossless re-dispatch path."""
         n = len(self._pending) - keep
         if n <= 0:
             return None
         batch, self._pending = self._pending[:n], self._pending[n:]
+        pks = np.asarray(jnp.stack([e.packed for e in batch]))
         rec = None
-        i = 0
-        while i < len(batch):
-            if batch[i][1].ndim == 2:  # chunk entry
-                for pk in np.asarray(batch[i][1]):
-                    rec = self._finalize_row(None, pk)
-                i += 1
-                continue
-            j = i
-            while j < len(batch) and batch[j][1].ndim == 1:
-                j += 1
-            pks = np.asarray(jnp.stack([p for _, p in batch[i:j]]))
-            for (diag, _), pk in zip(batch[i:j], pks):
-                rec = self._finalize_row(diag, pk)
-            i = j
+        for i, (entry, pk) in enumerate(zip(batch, pks)):
+            if pk.shape[0] > 28 and pk[30] == 0.0:
+                # This frame overflowed its predicted bucket (or aborted in
+                # cascade).  Everything from here on — fetched or still in
+                # flight — was a device no-op; re-run it losslessly.
+                stalled = batch[i:] + self._pending
+                self._pending = []
+                redo = self._redispatch(stalled, keep)
+                return redo if redo is not None else rec
+            last = i == len(batch) - 1 and not self._pending
+            rec = self._finalize_row(entry, pk, can_backend=last)
         return rec
 
-    def _finalize_row(self, diag, pk: np.ndarray) -> FrameRecord:
-        """Finalize one packed row with its [n_valid, bucket] tail: bucket
-        feedback + overflow warning, then the standard record build."""
-        n_valid, bucket = int(pk[27]), int(pk[28])
-        if n_valid > bucket and not self._warned_bucket:
-            self._warned_bucket = True
-            import warnings
-
-            warnings.warn(
-                f"pipelined bucket {bucket} overflowed ({n_valid} valid "
-                f"points; tail dropped) — raising the bucket floor",
-                stacklevel=2,
-            )
-        self._bucket_floor = max(self._bucket_floor, n_valid)
-        self._next_bucket = pick_bucket(
-            max(int(1.15 * n_valid), self._bucket_floor), self.cfg
+    def _finalize_row(self, entry: _Pending, pk: np.ndarray,
+                      can_backend: bool = True) -> FrameRecord:
+        """Finalize one packed row with its [n_valid, bucket, ok] tail:
+        bucket feedback, then the standard record build."""
+        n_valid = int(pk[28])
+        # Decaying floor: one spike should not inflate every later frame's
+        # bucket forever, but repeated overflow thrash is damped.
+        rt = self.cfg.runtime
+        self._bucket_floor = max(
+            n_valid, int(self._bucket_floor * rt.bucket_floor_decay)
         )
-        return self._finalize(diag, pk[:27])
+        self._next_bucket = pick_bucket(
+            max(int(rt.bucket_headroom * n_valid), self._bucket_floor),
+            self.cfg,
+        )
+        return self._finalize(entry.diag, pk, entry.map_cap, can_backend)
 
-    def _finalize(self, diag, pk: np.ndarray) -> FrameRecord:
+    def _redispatch(self, stalled: List[_Pending],
+                    keep: int) -> Optional[FrameRecord]:
+        """Lossless overflow recovery: re-run the stalled frames, in order,
+        each at the exact bucket its (already computed) point count needs.
+        The aborted steps never touched state or the PRNG key, so the
+        result is exactly what a synchronous run would have produced.  The
+        re-dispatches re-enter the normal pending queue (drained back down
+        to `keep`), so the pipeline keeps flowing."""
+        self._ok = jnp.asarray(True)
+        rows = np.asarray(jnp.stack([e.packed for e in stalled]))
+        self.n_redispatched += len(stalled)
+        for entry, pk in zip(stalled, rows):
+            assert entry.ri is not None, (
+                "non-fused pipelined rows carry pre-sliced clouds and "
+                "cannot overflow"
+            )
+            nv = int(pk[28])
+            b = pick_bucket(nv, self.cfg)
+            self._maybe_grow_map()
+            cap = self.state.map.positions.shape[0]
+            ri = entry.ri
+            self.state, self.key, self._ok, diag = pipeline.odometry_step_fused(
+                self.state, self.key, self._ok, jnp.asarray(ri["range_az"]),
+                self._device_vert(ri["vert"]),
+                jnp.asarray(ri["sel"]) if ri["sel"] is not None else None,
+                self.cfg.preprocess, self.cfg, b, self.tile,
+            )
+            self._pending.append(_Pending(diag, diag.packed, ri, cap))
+        # Exact buckets cannot overflow again, so this recursion is bounded.
+        return self._drain(keep=keep)
+
+    def _finalize(self, diag, pk: np.ndarray, map_cap: int,
+                  can_backend: bool = True) -> FrameRecord:
         # One host fetch for all scalar diagnostics (pipeline packs them),
         # instead of seven round trips — dominant cost on remoted devices.
         rec = FrameRecord(
-            pose=pk[:16].reshape(4, 4),
+            pose=pk[:16].reshape(4, 4).astype(np.float32),
             n_inliers=int(pk[17]),
             n_mutual=int(pk[16]),
             gated=bool(pk[18] > 0),
@@ -372,10 +399,12 @@ class SlamEngine:
                 stacklevel=2,
             )
         if self.enable_backend:
-            self._maybe_keyframe(diag, rec)
+            self._maybe_keyframe(diag, rec, abs_frame=int(pk[27]),
+                                 map_cap=map_cap)
         self.records.append(rec)
         if (
-            self.enable_backend
+            can_backend
+            and self.enable_backend
             and self.backend_every
             and len(self.records) % self.backend_every == 0
             and int(self.keyframes.count) >= 2
@@ -385,7 +414,7 @@ class SlamEngine:
             rec = self.records[-1]  # pose may have been corrected
         return rec
 
-    def _maybe_grow_map(self, n_frames: int = 1) -> None:
+    def _maybe_grow_map(self) -> None:
         """Pad the map to the next capacity bucket when this frame's insert
         could overflow it (map ops scale with live capacity, so starting
         small and growing keeps matching/ICP/dedup grids minimal).  At the
@@ -393,7 +422,7 @@ class SlamEngine:
         keypoints instead of letting inserts drop silently."""
         cap = self.state.map.positions.shape[0]
         hard_cap = self.cfg.map.capacity
-        inc = self.cfg.keypoints.top_k * n_frames
+        inc = self.cfg.keypoints.top_k
         if self.pipelined:
             # Host-side cursor upper bound (each step appends <= top_k), so
             # growth decisions never force a device sync mid-pipeline;
@@ -424,7 +453,7 @@ class SlamEngine:
             return
         # At the ceiling: make room for this frame (fixed n_evict so the
         # eviction kernel compiles once).
-        n_evict = min(2 * self.cfg.keypoints.top_k * n_frames, hard_cap // 2)
+        n_evict = min(2 * self.cfg.keypoints.top_k, hard_cap // 2)
         before = int(self.state.map.cursor)
         self.state = self.state._replace(
             map=mapstore.evict_keypoints(self.state.map, n_evict)
@@ -443,7 +472,8 @@ class SlamEngine:
                 stacklevel=2,
             )
 
-    def _maybe_keyframe(self, diag, rec: FrameRecord) -> None:
+    def _maybe_keyframe(self, diag, rec: FrameRecord, abs_frame: int,
+                        map_cap: int) -> None:
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         if not kf_mod.should_add_keyframe(
@@ -452,16 +482,15 @@ class SlamEngine:
             self._frames_since_kf += 1
             return
         # Landmark observations: inlier matches whose candidate index falls
-        # inside the map capacity at step time (the rest matched the
-        # previous frame's keypoint block appended after it).
-        cap = self.state.map.positions.shape[0]
+        # inside the map capacity AT STEP TIME (the rest matched the
+        # previous frame's keypoint block appended after it; the map may
+        # have grown since dispatch in pipelined mode, hence map_cap).
         obs_lm = jnp.where(
-            diag.corr_inlier & (diag.corr_index < cap), diag.corr_index, -1
+            diag.corr_inlier & (diag.corr_index < map_cap), diag.corr_index, -1
         )
         # Absolute frame index (consistent with MapState.frame_born, which
         # odometry_step stamps with the pre-increment state.frame_idx) —
-        # differs from len(self.records) on resumed runs.
-        abs_frame = int(self.state.frame_idx) - 1
+        # rides inside the packed diagnostics, so no device sync here.
         self.keyframes = kf_mod.add_keyframe(
             self.keyframes, jnp.asarray(rec.pose), diag.features,
             jnp.asarray(abs_frame), obs_lm,

@@ -78,11 +78,12 @@ class StepDiagnostics(NamedTuple):
     # Cumulative keypoints dropped at the capacity ceiling (saturation
     # observability; the reference map grows unboundedly, mymap.cpp:4-26).
     n_dropped: jnp.ndarray
-    # All host-facing scalars flattened into one (27,) float32 vector
+    # All host-facing scalars flattened into one (28,) float32 vector
     # [pose(16), n_mutual, n_inliers, gated, h_diff, t_diff, map_size,
-    # icp_rmse, corr_stats(3), n_dropped] so drivers fetch per-frame
-    # diagnostics in a single device->host transfer (one RPC on remoted
-    # backends).
+    # icp_rmse, corr_stats(3), n_dropped, frame_idx] so drivers fetch
+    # per-frame diagnostics in a single device->host transfer (one RPC on
+    # remoted backends).  Pipelined steps append a [n_valid, bucket,
+    # committed] tail (31 total) — see `odometry_step_fused`.
     packed: jnp.ndarray
 
 
@@ -265,8 +266,8 @@ def _odometry_step_impl(
     """One full SLAM frame (reference main loop: odometry_test.cpp:185-193).
 
     `n_valid` (pre-slice cloud count) optionally rides along in `packed`
-    (+[n_valid, bucket] tail) so pipelined drivers learn it in the same
-    device->host transfer as the diagnostics."""
+    (+[n_valid, bucket, committed] tail) so pipelined drivers learn it in
+    the same device->host transfer as the diagnostics."""
     src = compute_features(points, pmask, cfg, tile)
 
     (T_best, rr, matches, n_mutual, gate, h_diff, t_diff,
@@ -305,12 +306,16 @@ def _odometry_step_impl(
         ]),
         corr_stats,
         new_map.n_dropped.astype(jnp.float32)[None],
+        # This frame's absolute index (= pre-increment state.frame_idx), so
+        # pipelined drivers recover it at drain time without a device sync.
+        state.frame_idx.astype(jnp.float32)[None],
     ])
     if n_valid is not None:
         packed = jnp.concatenate([
             packed,
             n_valid.astype(jnp.float32)[None],
             jnp.float32(points.shape[0])[None],
+            jnp.float32(1.0)[None],  # committed (fused steps may override)
         ])
     diag = StepDiagnostics(
         pose=T_best,
@@ -357,6 +362,7 @@ odometry_step.__doc__ = _odometry_step_impl.__doc__
 def odometry_step_fused(
     state: OdometryState,
     key: jax.Array,
+    ok: jnp.ndarray,  # () bool: pipeline healthy (no earlier in-flight abort)
     range_az: jnp.ndarray,  # (2, R, A): [range_mm, azimuth_rad]
     vert_rad: jnp.ndarray,  # (R,)
     selected: jnp.ndarray | None,
@@ -364,9 +370,10 @@ def odometry_step_fused(
     cfg: SlamConfig,
     bucket: int,
     tile: int = 2048,
-) -> tuple[OdometryState, jax.Array, StepDiagnostics]:
+) -> tuple[OdometryState, jax.Array, jnp.ndarray, StepDiagnostics]:
     """Whole frame in ONE device dispatch: preprocessing + cloud extraction
-    + bucket slice + PRNG split + the odometry step.
+    + bucket slice + PRNG split + the odometry step — with commit-or-abort
+    overflow semantics so bucketing is lossless.
 
     The pipelined engine path uses this instead of the separate
     `_ingest` + `odometry_step` dispatches: on remoted backends each
@@ -374,7 +381,19 @@ def odometry_step_fused(
     direct latency win (the TPU analog of the reference folding its whole
     frame into one main-loop iteration, odometry_test.cpp:185-193).  The
     PRNG chain advances with the same `jax.random.split` the host path
-    uses, so results are bit-identical to the unfused path."""
+    uses, so results match the unfused path (numerically equivalent;
+    padded-lane masking makes cross-bucket results agree to ~1e-5).
+
+    Lossless bucketing: the engine predicts `bucket` from the previous
+    frame's point count, so a count spike can overflow it.  Instead of
+    silently dropping the tail (the reference never drops kept returns —
+    preprocess.cpp:201-216), the step COMMITS only when `ok` is set and the
+    cloud fits: on overflow it passes `state`/`key` through untouched and
+    clears `ok`, which cascades the abort through every later in-flight
+    frame.  The host sees committed=0 in the packed tail at drain time and
+    re-dispatches the stalled frames at their exact (now known) buckets.
+    Returns (state', key', ok', diag); diag.packed tail is
+    [n_valid, bucket, committed]."""
     from bshot_slam_tpu.ops import preprocess as pp
 
     res = pp.preprocess(range_az[0], range_az[1], vert_rad, pcfg)
@@ -382,53 +401,54 @@ def odometry_step_fused(
     points, pmask = pp.extract_cloud(res, sel, pcfg.max_points)
     n_valid = jnp.sum(pmask.astype(jnp.int32))
     points, pmask = points[:bucket], pmask[:bucket]
-    new_key, sub = jax.random.split(key)
-    new_state, diag = _odometry_step_impl(
-        state, points, pmask, sub, cfg, tile, n_valid=n_valid
-    )
-    return new_state, new_key, diag
+    # n_valid <= max_points by construction, so a bucket at the global
+    # capacity ceiling can never overflow.
+    commit = ok & (n_valid <= bucket)
 
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("pcfg", "cfg", "bucket", "tile"),
-    donate_argnames=("state",),
-)
-def odometry_step_chunk(
-    state: OdometryState,
-    key: jax.Array,
-    range_az: jnp.ndarray,  # (K, 2, R, A): stacked [range_mm, azimuth_rad]
-    vert_rad: jnp.ndarray,  # (R,)
-    pcfg,
-    cfg: SlamConfig,
-    bucket: int,
-    tile: int = 2048,
-) -> tuple[OdometryState, jax.Array, jnp.ndarray]:
-    """K whole SLAM frames in ONE device dispatch (`lax.scan` over frames).
-
-    Streaming over a remoted device pays a round trip per host<->device
-    operation, so the throughput mode uploads K stacked range images in one
-    transfer, scans the fused frame step K times on device, and returns the
-    (K, 29) packed diagnostics for one batched fetch — O(1) RPCs per chunk
-    instead of O(K).  The PRNG chain advances by the same per-frame
-    `jax.random.split`, so trajectories are bit-identical to the
-    frame-at-a-time modes.  Select-lists are not supported here (chunk mode
-    is for unlabeled throughput runs; drivers fall back per-frame)."""
-    from bshot_slam_tpu.ops import preprocess as pp
-
-    def body(carry, ra):
-        st, k = carry
-        res = pp.preprocess(ra[0], ra[1], vert_rad, pcfg)
-        points, pmask = pp.extract_cloud(
-            res, jnp.ones_like(res.valid), pcfg.max_points
-        )
-        nv = jnp.sum(pmask.astype(jnp.int32))
-        pts, pm = points[:bucket], pmask[:bucket]
+    def _run(st, k):
         nk, sub = jax.random.split(k)
         nst, diag = _odometry_step_impl(
-            st, pts, pm, sub, cfg, tile, n_valid=nv
+            st, points, pmask, sub, cfg, tile, n_valid=n_valid
         )
-        return (nst, nk), diag.packed
+        return nst, nk, diag
 
-    (state, key), packed = jax.lax.scan(body, (state, key), range_az)
-    return state, key, packed
+    def _skip(st, k):
+        # Aborted frame: state/key passthrough and a dummy diagnostics
+        # skeleton — only the packed tail's n_valid matters (the host uses
+        # it to re-dispatch at the exact bucket).  Running under lax.cond
+        # means an abort costs ~preprocess only, so a cascade of stalled
+        # in-flight frames wastes almost no device time.
+        K = cfg.keypoints.top_k
+        feats = FrameFeatures(
+            keypoints=jnp.zeros((K, 3), jnp.float32),
+            scores=jnp.zeros((K,), jnp.float32),
+            descriptors=jnp.zeros((K, 11), jnp.uint32),
+            mask=jnp.zeros((K,), bool),
+        )
+        packed = jnp.concatenate([
+            jnp.zeros(28, jnp.float32),
+            n_valid.astype(jnp.float32)[None],
+            jnp.float32(bucket)[None],
+            jnp.float32(0.0)[None],
+        ])
+        diag = StepDiagnostics(
+            pose=jnp.eye(4, dtype=jnp.float32),
+            n_mutual=jnp.int32(0), n_inliers=jnp.int32(0),
+            gated=jnp.asarray(False),
+            heading_diff_rad=jnp.float32(0.0),
+            translation_diff_mm=jnp.float32(0.0),
+            map_size=jnp.int32(0), icp_rmse=jnp.float32(0.0),
+            corr_stats=jnp.zeros(3, jnp.float32),
+            corr_index=jnp.zeros((K,), jnp.int32),
+            corr_inlier=jnp.zeros((K,), bool),
+            features=feats,
+            n_dropped=st.map.n_dropped,
+            packed=packed,
+        )
+        return st, k, diag
+
+    new_state, new_key, diag = jax.lax.cond(commit, _run, _skip, state, key)
+    diag = diag._replace(
+        packed=diag.packed.at[-1].set(commit.astype(jnp.float32))
+    )
+    return new_state, new_key, commit, diag

@@ -23,7 +23,7 @@ def test_entry_runs():
     new_state, diag = fn(*ex)
     jax.block_until_ready(new_state)
     assert int(diag.map_size) > 0
-    assert diag.packed.shape[0] == 27
+    assert diag.packed.shape[0] == 28
 
 
 def test_dryrun_multichip_8():

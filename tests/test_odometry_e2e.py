@@ -173,29 +173,73 @@ def test_pipelined_batched_fetch_matches_sync():
         assert (a.n_inliers, a.map_size) == (b.n_inliers, b.map_size)
 
 
-def test_chunked_engine_matches_sync():
-    """Chunk mode (K frames per lax.scan dispatch, O(1) RPCs per chunk)
-    must reproduce the synchronous records exactly: frame 0 bootstraps the
-    bucket, frames 1+ run as chunks of 3 plus a power-of-two tail."""
-    cfg = small_cfg()
-    sweeps, _ = synthetic.render_sequence(
-        8, cfg.sensor, step_mm=300.0, noise_mm=10.0, seed=11,
-        n_firings=cfg.sensor.n_azimuth,
+def _overflow_sequence(cfg, base=900, spike=2700, n_frames=6, spike_at=3):
+    """Range-image sequence whose KEPT-point count SPIKES at `spike_at`
+    past the pipelined bucket predictor's 15% headroom, forcing the
+    commit-or-abort overflow path.  Every frame has the SAME total return
+    count (base frames pad with returns inside the self-car crop box,
+    classified out before extraction), so the host-side nnz spike
+    predictor cannot foresee it — the spike is classification-driven."""
+    rng = np.random.default_rng(7)
+    R, A = cfg.sensor.n_rings, cfg.sensor.n_azimuth
+    az = np.broadcast_to(
+        np.linspace(0, 2 * np.pi, A, endpoint=False, dtype=np.float32), (R, A)
+    ).copy()
+    # Upper rings only (vertical angle >= 0 after ascending sort — index 23
+    # of the HDL-32E LUT) keep the walls off the ground classifier's path;
+    # the steepest-down rings host the self-car filler (range 800 mm puts
+    # every azimuth inside the crop box, preprocess.cpp:155-157).
+    hi_rings = np.arange(23 * R // 32, R)
+    lo_rings = np.arange(0, 8)
+    frames = []
+    for f in range(n_frames):
+        n_wall = spike if f == spike_at else base
+        r = np.zeros((R, A), np.float32)
+        # Structured scene (walls at distinct cells) + per-frame jitter so
+        # matching still finds correspondences frame to frame.
+        cells = rng.choice(len(hi_rings) * A, n_wall, replace=False)
+        ring, col = hi_rings[cells // A], cells % A
+        rr = 20000.0 + 8000.0 * np.sin(col * 0.37) + rng.normal(0, 5, n_wall)
+        r[ring, col] = rr.astype(np.float32)
+        if f != spike_at:
+            ccells = rng.choice(len(lo_rings) * A, spike - n_wall,
+                                replace=False)
+            r[lo_rings[ccells // A], ccells % A] = 800.0
+        frames.append((r, az))
+    return frames
+
+
+def test_pipelined_overflow_is_lossless():
+    """A count spike past the predicted bucket must NOT drop points: the
+    fused step aborts, the engine re-dispatches at the exact bucket, and
+    the trajectory/map match the synchronous run (VERDICT r3 item 2; the
+    reference emits every kept return, preprocess.cpp:201-216)."""
+    import dataclasses
+
+    from bshot_slam_tpu.config import RuntimeConfig
+
+    cfg = dataclasses.replace(
+        small_cfg(),
+        runtime=RuntimeConfig(cloud_buckets=(1024, 2048, 4096, 8192)),
     )
+    frames = _overflow_sequence(cfg)
+    vert1d = np.deg2rad(np.sort(np.array(cfg.sensor.vertical_angles_deg)))
+
     sync = SlamEngine(cfg, seed=0, tile=1024)
-    for sw in sweeps:
-        sync.process_sweep(sw)
-    ch = SlamEngine(cfg, seed=0, tile=1024, chunk=3)
-    for sw in sweeps:
-        ch.process_sweep(sw)
-    last = ch.flush()
-    assert last is not None
-    assert len(ch.records) == len(sync.records) == len(sweeps)
-    for a, b in zip(ch.records, sync.records):
+    for r, az in frames:
+        sync.process_range_image(r, az, vert1d)
+
+    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True, fetch_every=4)
+    for r, az in frames:
+        pipe.process_range_image(r, az, vert1d)
+    pipe.flush()
+
+    assert pipe.n_redispatched > 0, "sequence failed to trigger an overflow"
+    assert len(pipe.records) == len(sync.records) == len(frames)
+    for a, b in zip(pipe.records, sync.records):
         np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
-        assert (a.n_inliers, a.n_mutual, a.map_size, a.gated) == (
-            b.n_inliers, b.n_mutual, b.map_size, b.gated
-        )
+        assert a.map_size == b.map_size
+        assert a.n_inliers == b.n_inliers
 
 
 def test_pick_bucket_ladder():

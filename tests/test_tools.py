@@ -35,13 +35,13 @@ def test_run_odometry_synthetic(tmp_path):
 
 
 @pytest.mark.slow
-def test_run_odometry_chunked(tmp_path):
-    """--chunk runs K frames per dispatch; trajectory must still save every
-    frame after the implicit flush."""
+def test_run_odometry_pipelined(tmp_path):
+    """--pipeline defers diagnostics fetches; trajectory must still save
+    every frame after the implicit flush."""
     out = tmp_path / "traj.txt"
     stdout = run_tool(
         "run_odometry.py", "--synthetic", "5", "--n-azimuth", "256",
-        "--cpu", "--chunk", "2", "--out", str(out),
+        "--cpu", "--pipeline", "--out", str(out),
     )
     assert "5 frames" in stdout
     assert len(out.read_text().strip().splitlines()) == 5

@@ -111,11 +111,9 @@ def main() -> int:
                          "so later frames match the corrected map")
     ap.add_argument("--pipeline", action="store_true",
                     help="throughput mode: defer diagnostics fetches so host "
-                    "work overlaps device compute (records lag; "
-                    "incompatible with --backend)")
-    ap.add_argument("--chunk", type=int, default=0, metavar="K",
-                    help="max-throughput mode: run K frames per device "
-                    "dispatch (lax.scan); implies --pipeline")
+                    "work overlaps device compute (records lag; composes "
+                    "with --backend — periodic backend passes drain the "
+                    "pipeline first)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
@@ -206,14 +204,11 @@ def main() -> int:
 
             sweeps = itertools.islice(sweeps, args.frames)
 
-    pipelined = args.pipeline or args.chunk > 0
-    if pipelined and args.backend:
-        ap.error("--pipeline/--chunk are incompatible with --backend "
-                 "(keyframing needs each frame's pose at frame time)")
+    pipelined = args.pipeline
     eng = SlamEngine(cfg, enable_backend=args.backend,
                      backend_every=args.backend_every,
                      pipelined=pipelined,
-                     fetch_every=16 if pipelined else 1, chunk=args.chunk)
+                     fetch_every=16 if pipelined else 1)
     prior_traj = None
     if args.resume:
         from bshot_slam_tpu.checkpoint import load_backend, load_state
@@ -247,9 +242,9 @@ def main() -> int:
         t0 = time.perf_counter()
         rec = eng.process_frame(sw)
         dt = (time.perf_counter() - t0) * 1e3
-        if rec is None:  # pipelined/chunked: nothing finalized yet
+        if rec is None:  # pipelined: nothing finalized yet
             continue
-        # In pipelined/chunk mode records lag the submitted frame; print
+        # In pipelined mode records lag the submitted frame; print
         # the newest finalized frame's index.
         fi = len(eng.records) - 1 if pipelined else i
         pos = rec.pose[:3, 3]
@@ -273,7 +268,7 @@ def main() -> int:
                 break
             if ans.strip().lower().startswith("c"):
                 stepping = False
-    eng.flush()  # pipelined/chunked: finalize in-flight frames (else no-op)
+    eng.flush()  # pipelined: finalize in-flight frames (else no-op)
     total = time.perf_counter() - t_start
     prof.close()
     if live and eng.records:
