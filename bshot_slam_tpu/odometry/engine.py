@@ -86,11 +86,20 @@ class SlamEngine:
 
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
-                 pipelined: bool = False, fetch_every: int = 1):
+                 pipelined: bool = False, fetch_every: int = 1,
+                 host_preprocess: bool = True):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
         self.tile = tile
+        # Default ingest: preprocess on the HOST (numpy) and upload the
+        # compact cloud.  The 32-step ground walk is microseconds of ALU
+        # work that costs milliseconds (and minutes of XLA compile) on the
+        # accelerator, and host-side counting makes the cloud bucket exact
+        # per frame — no overflow machinery on this path (see
+        # ops.preprocess_host).  host_preprocess=False keeps the fully
+        # device-resident fused path (odometry_step_fused).
+        self.host_preprocess = host_preprocess
         # Run loop closure + pose graph + map re-anchoring every N frames
         # during the run (0 = only when the caller asks), so later frames
         # match against the corrected map.
@@ -170,6 +179,19 @@ class SlamEngine:
         # slicing to the smallest bucket >= n_valid preserves every valid
         # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
         # Pallas grid steps on typical urban frames).
+        if self.host_preprocess:
+            from bshot_slam_tpu.ops import preprocess_host as ph
+
+            classes, xyz, valid = ph.preprocess_host(
+                range_mm, azimuth_rad, vert_rad, self.cfg.preprocess
+            )
+            pts, nv = ph.extract_cloud_host(
+                classes, xyz, valid, selected, self.cfg.preprocess.max_points
+            )
+            b = pick_bucket(nv, self.cfg)
+            points = np.zeros((b, 3), np.float32)
+            points[:nv] = pts
+            return self.process_compact(points, nv)
         if self.pipelined:
             # Remote fetches are the per-frame bottleneck (one tunnel RPC
             # each); bucket from the PREVIOUS frame's count (delivered free
@@ -224,6 +246,21 @@ class SlamEngine:
         if b < points.shape[0]:
             points, pmask = points[:b], pmask[:b]
         return self.process_cloud(points, pmask, n_valid_dev)
+
+    def process_compact(self, points: np.ndarray, n_valid: int):
+        """One frame from a host-preprocessed compact cloud: points
+        (bucket, 3) front-compacted, n_valid exact.  One (bucket, 3)
+        upload + one dispatch; the validity mask is derived on device."""
+        self._maybe_grow_map()
+        self.key, sub = jax.random.split(self.key)
+        cap = self.state.map.positions.shape[0]
+        self.state, diag = pipeline.odometry_step_compact(
+            self.state, jnp.asarray(points), np.int32(n_valid), sub,
+            self.cfg, self.tile,
+        )
+        if self.pipelined:
+            return self._enqueue(diag, None, cap)
+        return self._finalize(diag, np.asarray(diag.packed), cap)
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray,
                       n_valid_dev: Optional[jnp.ndarray] = None):

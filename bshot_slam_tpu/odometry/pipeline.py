@@ -355,6 +355,32 @@ odometry_step.__doc__ = _odometry_step_impl.__doc__
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "tile"), donate_argnames=("state",)
+)
+def odometry_step_compact(
+    state: OdometryState,
+    points: jnp.ndarray,  # (bucket, 3) front-compacted kept points
+    n_valid: jnp.ndarray,  # () int32, <= bucket (exact: host counted it)
+    key: jax.Array,
+    cfg: SlamConfig,
+    tile: int = 2048,
+) -> tuple[OdometryState, StepDiagnostics]:
+    """Odometry step over a host-preprocessed compact cloud.
+
+    The engine's default ingest path preprocesses on the HOST (see
+    ops.preprocess_host for why), so kept points arrive front-compacted
+    with an exact count: the validity mask is just `iota < n_valid`,
+    making the per-frame upload a single (bucket, 3) buffer.  Because the
+    bucket is chosen from the exact count, this path can never overflow —
+    the deferred-bucket commit-or-abort machinery exists only for the
+    device-preprocessed `odometry_step_fused` path."""
+    pmask = jnp.arange(points.shape[0], dtype=jnp.int32) < n_valid
+    return _odometry_step_impl(
+        state, points, pmask, key, cfg, tile, n_valid=n_valid
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("pcfg", "cfg", "bucket", "tile"),
     donate_argnames=("state",),

@@ -225,11 +225,14 @@ def test_pipelined_overflow_is_lossless():
     frames = _overflow_sequence(cfg)
     vert1d = np.deg2rad(np.sort(np.array(cfg.sensor.vertical_angles_deg)))
 
-    sync = SlamEngine(cfg, seed=0, tile=1024)
+    # host_preprocess=False: the overflow machinery only exists on the
+    # device-preprocessed fused path (the host path counts exactly).
+    sync = SlamEngine(cfg, seed=0, tile=1024, host_preprocess=False)
     for r, az in frames:
         sync.process_range_image(r, az, vert1d)
 
-    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True, fetch_every=4)
+    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True, fetch_every=4,
+                      host_preprocess=False)
     for r, az in frames:
         pipe.process_range_image(r, az, vert1d)
     pipe.flush()

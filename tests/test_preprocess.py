@@ -80,3 +80,75 @@ def test_extract_cloud_padding():
     # kept points are nonzero ranges
     kept = np.asarray(pts)[np.asarray(mask)]
     assert (np.linalg.norm(kept, axis=1) > 1).all()
+
+
+def test_host_preprocess_matches_jax():
+    """The engine's default host-side (numpy) preprocessing must classify
+    every cell exactly like the JAX implementation, and its compact
+    extraction must match extract_cloud's count and order (coordinates to
+    f32 trig ulps) — on realistic scenes and a pathological random one."""
+    from bshot_slam_tpu.ops import preprocess_host as ph
+
+    cfg = PreprocessConfig()
+    sensor = SensorConfig(n_azimuth=512)
+    sweeps, _ = synthetic.render_sequence(
+        2, sensor, step_mm=400.0, noise_mm=20.0, seed=3, n_firings=512
+    )
+    cases = []
+    for sw in sweeps:
+        ri = build_range_image(sw, sensor)
+        cases.append((ri.range_mm, ri.azimuth_rad, ri.vert_rad))
+    # Random scene: dropouts, extreme ranges, exercises every walk rule.
+    rng = np.random.default_rng(9)
+    R, A = sensor.n_rings, sensor.n_azimuth
+    r = rng.uniform(0, 40000, (R, A)).astype(np.float32)
+    r[rng.random((R, A)) < 0.3] = 0.0
+    az = np.broadcast_to(
+        np.linspace(0, 2 * np.pi, A, endpoint=False, dtype=np.float32), (R, A)
+    ).copy()
+    vert = np.deg2rad(np.sort(np.asarray(sensor.vertical_angles_deg))).astype(
+        np.float32
+    )
+    cases.append((r, az, vert))
+
+    for r_mm, a_rad, v_rad in cases:
+        res = pp.preprocess(
+            jnp.asarray(r_mm), jnp.asarray(a_rad), jnp.asarray(v_rad), cfg
+        )
+        cls_h, xyz_h, valid_h = ph.preprocess_host(r_mm, a_rad, v_rad, cfg)
+        np.testing.assert_array_equal(cls_h, np.asarray(res.classes))
+        np.testing.assert_array_equal(valid_h, np.asarray(res.valid))
+        pts_j, m_j = pp.extract_cloud(
+            res, jnp.ones_like(res.valid), cfg.max_points
+        )
+        pts_h, nv_h = ph.extract_cloud_host(
+            cls_h, xyz_h, valid_h, None, cfg.max_points
+        )
+        assert nv_h == int(jnp.sum(m_j))
+        # Same cells in the same order; coordinates agree to trig ulps.
+        np.testing.assert_allclose(
+            pts_h, np.asarray(pts_j)[:nv_h], rtol=0, atol=0.05
+        )
+
+
+def test_host_extract_respects_select_list():
+    """Select-list filtering (reference: preprocess.cpp:58-67) applies on
+    the host path exactly as on the device path."""
+    from bshot_slam_tpu.ops import preprocess_host as ph
+
+    cfg = PreprocessConfig()
+    sensor = SensorConfig(n_azimuth=256)
+    sweeps, _ = synthetic.render_sequence(1, sensor, seed=5, n_firings=256)
+    ri = build_range_image(sweeps[0], sensor)
+    rng = np.random.default_rng(0)
+    sel = rng.random(ri.range_mm.shape) < 0.5
+    res = pp.preprocess(
+        jnp.asarray(ri.range_mm), jnp.asarray(ri.azimuth_rad),
+        jnp.asarray(ri.vert_rad), cfg,
+    )
+    cls_h, xyz_h, valid_h = ph.preprocess_host(
+        ri.range_mm, ri.azimuth_rad, ri.vert_rad, cfg
+    )
+    _, m_j = pp.extract_cloud(res, jnp.asarray(sel), cfg.max_points)
+    _, nv_h = ph.extract_cloud_host(cls_h, xyz_h, valid_h, sel, cfg.max_points)
+    assert nv_h == int(jnp.sum(m_j)) > 0
