@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 headline number is `SlamEngine.process_sweep` end to end (range-image
 build, preprocessing, bucketing, the odometry step, diagnostics fetch)
 over 129 DISTINCT synthetic frames with the global map pre-grown to
->=64k landmarks, in the pipelined fused mode a live sensor-rate driver
-uses (one fused dispatch per frame, diagnostics fetched every 16 frames).
+>=64k landmarks, in the engine's default pipelined mode (host-side
+preprocessing, one exact-bucket device dispatch per frame, diagnostics
+fetched every 16 frames).
 
 The headline JSON is printed (and flushed) the moment the timed engine
 pass finishes, BEFORE any optional extras, so a driver timeout mid-extras

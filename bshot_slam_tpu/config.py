@@ -248,6 +248,13 @@ class RuntimeConfig:
     map_buckets: Tuple[int, ...] = (16384, 32768, 65536, 131072)
     # dtype used for MXU Hamming/distance matmuls.
     matmul_dtype: str = "bfloat16"
+    # Top-k selection for keypoints + SHOT neighbors: False uses TPU
+    # approx_max_k (recall 0.95, faster), True uses exact lax.top_k.
+    # Approx selection makes TPU trajectories diverge from the exact CPU
+    # path (measured on the golden fixture: 205 mm ATE delta on a 2.1 m
+    # path — GOLDEN_TPU_r04.json); set True when TPU-vs-CPU parity
+    # matters more than the throughput delta.
+    exact_topk: bool = False
     # Mesh axis names for the multi-chip path.
     mesh_axes: Tuple[str, ...] = ("data", "map")
 

@@ -78,13 +78,29 @@ def decode_packets(
     if payloads.ndim == 1:
         payloads = payloads[None]
     pkts = payloads.view(_PACKET_DTYPE).reshape(payloads.shape[0])
-    az_raw = pkts["firings"]["azimuth"].astype(np.float64)  # (P, 12)
     n_lasers = sensor.n_rings
+
+    # Sensor-type gate (reference asserts the factory byte,
+    # VelodyneCapture.h:443; here mismatched packets are skipped): 0
+    # tolerates factory-byte-less streams.
+    expected = SENSOR_VLP16 if n_lasers == 16 else SENSOR_HDL32E
+    st = pkts["sensor_type"]
+    pkts = pkts[(st == 0) | (st == expected)]
+
+    az_raw = pkts["firings"]["azimuth"].astype(np.float64)  # (P, 12)
+
+    # Corrupt-firing gates: bad block marker or impossible azimuth (the
+    # native decoder applies the same tests packet-for-packet).
+    bid = pkts["firings"]["block_id"]
+    ok_firing = ((bid == 0) | (bid == 0xEEFF)) & (az_raw < 36000.0)
 
     # Interpolated half-step between firing 0 and 1 of each packet
     # (reference: VelodyneCapture.h:462-469).
-    d01 = az_raw[:, 1] - az_raw[:, 0]
-    d01 = np.where(d01 < 0, d01 + 36000.0, d01) / 2.0
+    if az_raw.shape[0]:
+        d01 = az_raw[:, 1] - az_raw[:, 0]
+        d01 = np.where(d01 < 0, d01 + 36000.0, d01) / 2.0
+    else:
+        d01 = np.zeros((0,))
 
     laser_idx = np.arange(LASER_PER_FIRING)
     az = np.broadcast_to(az_raw[:, :, None], az_raw.shape + (LASER_PER_FIRING,))
@@ -98,11 +114,12 @@ def decode_packets(
     )
     dist = pkts["firings"]["returns"]["distance"]
     inten = pkts["firings"]["returns"]["intensity"]
+    keep = np.broadcast_to(ok_firing[:, :, None], az.shape).reshape(-1)
     return (
-        (az / 100.0).reshape(-1),
-        ring.reshape(-1),
-        dist.reshape(-1),
-        inten.reshape(-1),
+        (az / 100.0).reshape(-1)[keep],
+        ring.reshape(-1)[keep],
+        dist.reshape(-1)[keep],
+        inten.reshape(-1)[keep],
     )
 
 

@@ -197,7 +197,9 @@ def _euclid_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, dmin_ref, darg_ref,
         qq = jnp.sum(q * q, axis=1, keepdims=True)
         rr = jnp.sum(r * r, axis=1, keepdims=True)
         cross = jax.lax.dot_general(
-            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d2 = jnp.maximum(qq + rr.T - 2.0 * cross, 0.0)
         ok = (qm_ref[:] > 0) & (rm_ref[:].T > 0)
@@ -268,7 +270,9 @@ def _dedup_kernel(nv_ref, p_ref, k1_ref, k2_ref, s_ref, mp_ref, mk1_ref,
         pp = jnp.sum(p * p, axis=1, keepdims=True)
         mm = jnp.sum(m * m, axis=1, keepdims=True)
         cross = jax.lax.dot_general(
-            p, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            p, m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d2 = pp + mm.T - 2.0 * cross
         same = (k1_ref[:] == mk1_ref[:].T) & (k2_ref[:] == mk2_ref[:].T)

@@ -29,11 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 # Tile sizes: Tq sublanes x Tr lanes of the pair matrix; feature width F
 # is padded to a lane multiple by callers.  Large tiles amortize per-grid-
 # step overhead, but the fused elementwise pipeline needs several (TQ, TR)
-# f32 buffers live at once: (512, 2048) is the largest shape that compiles
-# within the 16 MB scoped-VMEM limit at every cloud bucket (1024x2048
-# OOMs at the 32768 bucket; verified empirically on v5e).
+# f32 buffers live at once: (512, 1024) is the largest shape that compiles
+# within the 16 MB scoped-VMEM limit at every cloud bucket now that the
+# coordinate cross-matmuls run at Precision.HIGHEST (the multi-pass f32
+# emulation needs extra pass buffers; (512, 2048) OOMed by 1.3 MB at the
+# 32768 bucket — verified empirically on v5e).  Halving TR rather than TQ
+# keeps candidate-tile HBM traffic unchanged (r/feat tiles are re-read
+# per q stripe either way).
 TQ = 512
-TR = 2048
+TR = 1024
 
 
 def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
@@ -97,8 +101,13 @@ def _accum_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
         r = r_ref[:]
         qq = jnp.sum(q * q, axis=1, keepdims=True)  # (TQ, 1)
         pp = jnp.sum(r * r, axis=1, keepdims=True)  # (TR, 1)
+        # HIGHEST: the default bf16 input precision puts an error on the
+        # cross term comparable to radius^2 at mm-scale coordinates,
+        # corrupting the membership test (see ops/keypoints._pair_d2).
         cross = jax.lax.dot_general(
-            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TQ, TR)
         d2 = qq + pp.T - 2.0 * cross
         within = (d2 <= qr2_ref[:]) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
@@ -196,13 +205,19 @@ def _segratio_kernel(nv_ref, qlo_ref, qhi_ref, rlo_ref, rhi_ref,
         qq = jnp.sum(q * q, axis=1, keepdims=True)
         pp = jnp.sum(r * r, axis=1, keepdims=True)
         cross = jax.lax.dot_general(
-            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         d2 = qq + pp.T - 2.0 * cross
         within = (d2 <= qr2_ref[:]) & (qm_ref[:] > 0) & (rm_ref[:].T > 0)
         # dot(v_q, p_r - q) = v.p_r - v.q
+        # HIGHEST: the CV rule takes the SIGN of vr - vq, a small
+        # difference of ~1e7-magnitude products — bf16 input error flips it.
         vr = jax.lax.dot_general(
-            v, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            v, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         vq = jnp.sum(v * q, axis=1, keepdims=True)
         dots = vr - vq

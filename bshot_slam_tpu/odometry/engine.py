@@ -87,7 +87,7 @@ class SlamEngine:
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
                  pipelined: bool = False, fetch_every: int = 1,
-                 host_preprocess: bool = True):
+                 host_preprocess: bool = True, keep_corr: bool = False):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
@@ -148,6 +148,15 @@ class SlamEngine:
         self._warned_drop = False
         self._warned_evict = False
         self.n_evicted = 0  # cumulative keypoints evicted at capacity
+        # keep_corr: retain each finalized frame's correspondence pairs
+        # (world-frame source keypoints + matched candidate indices +
+        # inlier flags) for visualization — the reference's second viewer
+        # draws exactly these every frame (odometry_test.cpp:281-345,
+        # updateCorrespondence lidar_odometry.cpp:378-390).  Costs extra
+        # small device fetches per frame; off unless a viewer wants it.
+        self.keep_corr = keep_corr
+        self.last_corr: Optional[dict] = None
+        self._prev_kp_world: Optional[np.ndarray] = None
 
     def process_sweep(self, sweep: LaserSweep,
                       selected: Optional[np.ndarray] = None) -> FrameRecord:
@@ -438,6 +447,18 @@ class SlamEngine:
         if self.enable_backend:
             self._maybe_keyframe(diag, rec, abs_frame=int(pk[27]),
                                  map_cap=map_cap)
+        if self.keep_corr and diag is not None:
+            kp = np.asarray(diag.features.keypoints)
+            kp_w = kp @ rec.pose[:3, :3].T + rec.pose[:3, 3]
+            self.last_corr = {
+                "src_world": kp_w,
+                "index": np.asarray(diag.corr_index),
+                "inlier": np.asarray(diag.corr_inlier)
+                & np.asarray(diag.features.mask),
+                "map_cap": map_cap,
+                "prev_src_world": self._prev_kp_world,
+            }
+            self._prev_kp_world = kp_w
         self.records.append(rec)
         if (
             can_backend

@@ -132,9 +132,14 @@ def compute_features(
         # approx_max_k: exact on CPU, bucketed on TPU (~5x faster than
         # lax.top_k over 49k lanes); may swap a few borderline keypoints,
         # which the saliency heuristic never guaranteed anyway.
-        top_scores, top_idx = jax.lax.approx_max_k(
-            scores, cfg.keypoints.top_k, recall_target=0.95
-        )
+        # RuntimeConfig.exact_topk forces the exact path (TPU-vs-CPU
+        # trajectory parity; measured divergence in GOLDEN_TPU_r04.json).
+        if cfg.runtime.exact_topk:
+            top_scores, top_idx = jax.lax.top_k(scores, cfg.keypoints.top_k)
+        else:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                scores, cfg.keypoints.top_k, recall_target=0.95
+            )
         kmask = jnp.isfinite(top_scores)
         from bshot_slam_tpu.ops.keypoints import Keypoints
 
@@ -155,7 +160,8 @@ def compute_features(
         else:  # reference-mimic mode: zero surface normals (bshot_bits.h:59)
             normals = jnp.zeros_like(points)
     desc_f, desc_valid = shot_descriptors(
-        kps.positions, kps.mask, points, pmask, normals, cfg.descriptor
+        kps.positions, kps.mask, points, pmask, normals, cfg.descriptor,
+        exact_topk=cfg.runtime.exact_topk,
     )
     words = bshot.bshot_from_shot(desc_f, cfg.descriptor)
     return FrameFeatures(

@@ -52,11 +52,15 @@ def gather_neighbors(
     normals: jnp.ndarray,
     radius: float,
     max_neighbors: int,
+    exact: bool = False,
 ) -> NeighborGather:
     """Nearest `max_neighbors` in-radius surface points per keypoint.
 
     Zero-distance duplicates of the keypoint are excluded, matching PCL's
-    skip of coincident neighbors in the SHOT loop.
+    skip of coincident neighbors in the SHOT loop.  `exact=True` swaps the
+    TPU-bucketed approx_max_k for exact lax.top_k (RuntimeConfig.
+    exact_topk; eliminates TPU-vs-CPU trajectory divergence at some
+    throughput cost — see GOLDEN_TPU artifacts).
     """
     d2 = _pair_d2(keypoints, points)  # (K, N)
     r2 = radius * radius
@@ -67,7 +71,11 @@ def gather_neighbors(
     # farthest in-radius neighbors only perturbs histogram tails, and the
     # reference itself caps neighborhoods arbitrarily at 300
     # (bshot_bits.h:68), so the neighbor set was never exact to begin with.
-    _, idx = jax.lax.approx_max_k(score, max_neighbors, recall_target=0.95)
+    if exact:
+        _, idx = jax.lax.top_k(score, max_neighbors)
+    else:
+        _, idx = jax.lax.approx_max_k(score, max_neighbors,
+                                      recall_target=0.95)
     # TPU row-gathers run at a fixed ~rows/cycle rate regardless of row
     # width, so fetch position+normal+validity as ONE 7-wide gather and
     # recompute distance/mask from the gathered rows instead of paying for
@@ -103,13 +111,15 @@ def local_reference_frames(
     wsum = jnp.sum(w, axis=1)
     valid = wsum > _EPS
     wn = w / jnp.maximum(wsum, _EPS)[:, None]
-    cov = jnp.einsum("km,kmi,kmj->kij", wn, g.rel, g.rel)
+    cov = jnp.einsum("km,kmi,kmj->kij", wn, g.rel, g.rel,
+                     precision=jax.lax.Precision.HIGHEST)
     evals, evecs = eigh3(cov)  # ascending (closed form)
     x_axis = evecs[..., 2]
     z_axis = evecs[..., 0]
 
     def majority_flip(axis):
-        dots = jnp.einsum("kmi,ki->km", g.rel, axis)
+        dots = jnp.einsum("kmi,ki->km", g.rel, axis,
+                          precision=jax.lax.Precision.HIGHEST)
         npos = jnp.sum(jnp.where(g.nmask, (dots >= 0).astype(jnp.float32), 0.0), axis=1)
         nneg = jnp.sum(jnp.where(g.nmask, (dots < 0).astype(jnp.float32), 0.0), axis=1)
         return jnp.where((nneg > npos)[:, None], -axis, axis)
@@ -144,7 +154,7 @@ def _soft_bins(
     return lo_i, hi_i, 1.0 - frac, frac
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "exact_topk"))
 def shot_descriptors(
     keypoints: jnp.ndarray,
     kp_mask: jnp.ndarray,
@@ -152,6 +162,7 @@ def shot_descriptors(
     mask: jnp.ndarray,
     normals: jnp.ndarray,
     cfg: DescriptorConfig,
+    exact_topk: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """SHOT descriptors for all keypoints.
 
@@ -159,12 +170,14 @@ def shot_descriptors(
     """
     radius = cfg.shot_radius_mm
     g = gather_neighbors(
-        keypoints, kp_mask, points, mask, normals, radius, cfg.max_neighbors
+        keypoints, kp_mask, points, mask, normals, radius, cfg.max_neighbors,
+        exact=exact_topk,
     )
     frames, lrf_valid = local_reference_frames(g, radius)
 
     # Local coordinates in the LRF.
-    local = jnp.einsum("kai,kmi->kma", frames, g.rel)  # (K, M, 3) rows x,y,z
+    local = jnp.einsum("kai,kmi->kma", frames, g.rel,
+                       precision=jax.lax.Precision.HIGHEST)  # (K, M, 3) rows x,y,z
     xl, yl, zl = local[..., 0], local[..., 1], local[..., 2]
     d = g.dist
 
@@ -189,7 +202,8 @@ def shot_descriptors(
     r_lo, r_hi, rw_lo, rw_hi = _soft_bins(r_coord, nR, circular=False)
 
     # Cosine of (neighbor normal, LRF z): 11 bins over [-1, 1].
-    cosine = jnp.einsum("kmi,ki->km", g.normals, frames[:, 2, :])
+    cosine = jnp.einsum("kmi,ki->km", g.normals, frames[:, 2, :],
+                        precision=jax.lax.Precision.HIGHEST)
     cosine = jnp.clip(cosine, -1.0, 1.0)
     c_coord = (cosine + 1.0) / 2.0 * nC
     c_coord = jnp.minimum(c_coord, nC - 1e-6)

@@ -54,20 +54,22 @@ def make_mesh(devices: Sequence[jax.Device] | None = None,
     return Mesh(mesh_devs, axes)
 
 
-def state_shardings(mesh: Mesh) -> OdometryState:
-    """PartitionSpec pytree for OdometryState: map rows on 'map', rest
-    replicated."""
+def state_shardings(mesh: Mesh, map_axis: str = "map") -> OdometryState:
+    """PartitionSpec pytree for OdometryState: map rows on `map_axis`,
+    rest replicated.  `map_axis` is "map" on a single-host chip mesh and
+    "hosts" on a multi-process ("hosts", "devices") mesh (the SURVEY §7
+    phase-6 layout: map voxel blocks sharded across hosts)."""
     def ns(spec):
         return NamedSharding(mesh, spec)
 
     map_spec = MapState(
-        positions=ns(P("map", None)),
-        descriptors=ns(P("map", None)),
-        seg_ratios=ns(P("map")),
-        blocks=ns(P("map", None)),
-        valid=ns(P("map")),
+        positions=ns(P(map_axis, None)),
+        descriptors=ns(P(map_axis, None)),
+        seg_ratios=ns(P(map_axis)),
+        blocks=ns(P(map_axis, None)),
+        valid=ns(P(map_axis)),
         cursor=ns(P()),
-        frame_born=ns(P("map")),
+        frame_born=ns(P(map_axis)),
         n_dropped=ns(P()),
     )
     ref_spec = FrameFeatures(
@@ -79,16 +81,18 @@ def state_shardings(mesh: Mesh) -> OdometryState:
 
 
 def sharded_odometry_step(
-    mesh: Mesh, cfg: SlamConfig, tile: int = 2048
+    mesh: Mesh, cfg: SlamConfig, tile: int = 2048,
+    data_axis: str = "data", map_axis: str = "map",
 ) -> Tuple[Callable, Callable]:
     """Returns (step, shard_state).
 
     step(state, points, pmask, key) is the full odometry step jitted with
     data/map shardings; shard_state places an OdometryState onto the mesh.
+    On a multi-host mesh pass data_axis="devices", map_axis="hosts".
     """
-    st_sh = state_shardings(mesh)
-    pts_sh = NamedSharding(mesh, P("data", None))
-    mask_sh = NamedSharding(mesh, P("data"))
+    st_sh = state_shardings(mesh, map_axis)
+    pts_sh = NamedSharding(mesh, P(data_axis, None))
+    mask_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
 
     def _step(state, points, pmask, key):

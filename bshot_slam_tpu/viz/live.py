@@ -76,6 +76,25 @@ class LiveView:
             idx = np.linspace(0, len(pts) - 1, self.max_map_points).astype(int)
             pts = pts[idx]
         rec = engine.records[-1]
+        # Inlier correspondence segments of the newest frame (reference
+        # corrviewer: odometry_test.cpp:281-345) — available when the
+        # engine runs with keep_corr=True.
+        corr_segs = []
+        lc = getattr(engine, "last_corr", None)
+        if lc is not None:
+            cap = lc["map_cap"]
+            for i in np.flatnonzero(lc["inlier"]):
+                j = int(lc["index"][i])
+                if 0 <= j < cap:
+                    tgt = mp[j]
+                elif lc["prev_src_world"] is not None and j >= cap:
+                    k = j - cap
+                    if k >= len(lc["prev_src_world"]):
+                        continue
+                    tgt = lc["prev_src_world"][k]
+                else:
+                    continue
+                corr_segs.append((lc["src_world"][i], tgt))
         stats = {
             "frame": len(engine.records),
             "map_size": rec.map_size,
@@ -88,15 +107,16 @@ class LiveView:
             "keyframes": int(engine.keyframes.count),
             "loop_edges": len(getattr(engine, "loop_edges", [])),
         }
+        stats["corr_drawn"] = len(corr_segs)
         _atomic_write(
             os.path.join(self.dir, "live.svg"),
-            self._render_svg(traj, pts, gold, stats),
+            self._render_svg(traj, pts, gold, stats, corr_segs),
         )
         _atomic_write(
             os.path.join(self.dir, "live.json"), json.dumps(stats)
         )
 
-    def _render_svg(self, traj, map_pts, gold, stats) -> str:
+    def _render_svg(self, traj, map_pts, gold, stats, corr_segs=()) -> str:
         S = self.size
         panel = 260  # stats panel width
         # Common top-down frame over everything drawn.
@@ -134,6 +154,20 @@ class LiveView:
                 "stroke-dasharray='6 4' points='"
                 + " ".join(f"{a:.1f},{b:.1f}" for a, b in zip(x, y)) + "'/>"
             )
+        if corr_segs:
+            a = np.asarray([s[0] for s in corr_segs])
+            bpts = np.asarray([s[1] for s in corr_segs])
+            ax, ay = px(a)
+            bx, by = px(bpts)
+            lines = "".join(
+                f"<line x1='{x1:.1f}' y1='{y1:.1f}' x2='{x2:.1f}' "
+                f"y2='{y2:.1f}'/>"
+                for x1, y1, x2, y2 in zip(ax, ay, bx, by)
+            )
+            parts.append(
+                f"<g stroke='#f1c40f' stroke-width='0.9' "
+                f"opacity='0.75'>{lines}</g>"
+            )
         if len(traj):
             x, y = px(traj)
             parts.append(
@@ -163,7 +197,8 @@ class LiveView:
                 f"font-family='monospace' font-size='14'>{row}</text>"
             )
         legend = [("#e15759", "trajectory"), ("#59a14f", "gold"),
-                  ("#4e79a7", "map keypoints")]
+                  ("#4e79a7", "map keypoints"),
+                  ("#f1c40f", "inlier correspondences")]
         for k, (c, name) in enumerate(legend):
             y0 = S - 70 + 22 * k
             parts.append(

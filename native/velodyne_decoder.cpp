@@ -135,6 +135,11 @@ DecodedCapture* vd_decode_pcap(const char* path, int n_rings) {
     std::memcpy(&pkt, buf.data() + off + kLinkHeader, kPacketSize);
     off += rec.incl_len;
 
+    // Sensor-type gate (reference: VelodyneCapture.h:443): skip packets of
+    // a different sensor model; 0 tolerates factory-byte-less streams.
+    const uint8_t expected_sensor = (n_rings == 16) ? 0x22 : 0x21;
+    if (pkt.sensor_type != 0 && pkt.sensor_type != expected_sensor) continue;
+
     // VLP-16 half-step interpolation between firings 0 and 1
     // (reference: VelodyneCapture.h:462-469).
     double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
@@ -144,6 +149,10 @@ DecodedCapture* vd_decode_pcap(const char* path, int n_rings) {
 
     for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
       const FiringData& fd = pkt.firings[fi];
+      // Corrupt-firing gates: bad block marker or impossible azimuth
+      // (mirrors bshot_slam_tpu.io.velodyne.decode_packets).
+      if (fd.block_id != 0 && fd.block_id != 0xEEFF) continue;
+      if (fd.rotational_position >= 36000) continue;
       for (int li = 0; li < kLasersPerFiring; ++li) {
         double az = static_cast<double>(fd.rotational_position);
         if (li >= n_rings) az += d01;  // second VLP-16 firing sequence
@@ -155,8 +164,10 @@ DecodedCapture* vd_decode_pcap(const char* path, int n_rings) {
         const int ring = li % n_rings;
         out->azimuth_deg[n] = static_cast<float>(az / 100.0);
         out->ring[n] = ring;
-        out->distance[n] = fd.returns[ring].distance;
-        out->intensity[n] = fd.returns[ring].intensity;
+        // returns[li], not returns[ring]: a VLP-16 block's second firing
+        // sequence lives in returns 16..31.
+        out->distance[n] = fd.returns[li].distance;
+        out->intensity[n] = fd.returns[li].intensity;
         last_azimuth = az;
         ++n;
       }
@@ -276,6 +287,11 @@ struct VdStream {
       std::memcpy(&pkt, buf.data() + off + kLinkHeader, kPacketSize);
       off += rec.incl_len;
 
+      // Same content gates as the batch decoder above.
+      const uint8_t expected_sensor = (n_rings == 16) ? 0x22 : 0x21;
+      if (pkt.sensor_type != 0 && pkt.sensor_type != expected_sensor)
+        continue;
+
       double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
                    static_cast<double>(pkt.firings[0].rotational_position);
       if (d01 < 0) d01 += 36000.0;
@@ -283,6 +299,8 @@ struct VdStream {
 
       for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
         const FiringData& fd = pkt.firings[fi];
+        if (fd.block_id != 0 && fd.block_id != 0xEEFF) continue;
+        if (fd.rotational_position >= 36000) continue;
         for (int li = 0; li < kLasersPerFiring; ++li) {
           double az = static_cast<double>(fd.rotational_position);
           if (li >= n_rings) az += d01;
@@ -295,7 +313,7 @@ struct VdStream {
           const size_t cell =
               static_cast<size_t>(row_of_ring[ring]) * n_azimuth + col;
           cur->range_mm[cell] =
-              static_cast<float>(fd.returns[ring].distance) *
+              static_cast<float>(fd.returns[li].distance) *
               distance_scale_mm;
           cur->azimuth_rad[cell] =
               static_cast<float>(az_deg * kPi / 180.0);

@@ -167,6 +167,11 @@ def test_run_odometry_live_view_and_step(tmp_path):
     stats = _json.loads((live / "live.json").read_text())
     assert stats["frame"] == 3
     assert stats["map_size"] > 0
+    # Inlier correspondence segments are drawn (reference corrviewer,
+    # odometry_test.cpp:281-345): the engine ran with keep_corr and at
+    # least one matched frame rendered its pairs.
+    assert stats["corr_drawn"] > 0
+    assert "inlier correspondences" in svg and "<line" in svg
 
 
 @pytest.mark.slow

@@ -208,7 +208,8 @@ def main() -> int:
     eng = SlamEngine(cfg, enable_backend=args.backend,
                      backend_every=args.backend_every,
                      pipelined=pipelined,
-                     fetch_every=16 if pipelined else 1)
+                     fetch_every=16 if pipelined else 1,
+                     keep_corr=bool(args.live))
     prior_traj = None
     if args.resume:
         from bshot_slam_tpu.checkpoint import load_backend, load_state
