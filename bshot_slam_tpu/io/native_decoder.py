@@ -190,3 +190,79 @@ def stream_available() -> bool:
     if lib is None:
         return False
     return hasattr(lib, "vd_stream_open")
+
+
+class _PreprocessCfg(ctypes.Structure):
+    _fields_ = [
+        ("vert_init_rad", ctypes.c_float),
+        ("sensor_height_mm", ctypes.c_float),
+        ("grad_th_deg", ctypes.c_float),
+        ("lowpt_th_mm", ctypes.c_float),
+        ("height_th_mm", ctypes.c_float),
+        ("dist_th_mm", ctypes.c_float),
+        ("angdiff_th_rad", ctypes.c_float),
+        ("car_x0", ctypes.c_float), ("car_x1", ctypes.c_float),
+        ("car_y0", ctypes.c_float), ("car_y1", ctypes.c_float),
+        ("car_z0", ctypes.c_float), ("car_z1", ctypes.c_float),
+    ]
+
+
+def _load_preprocess():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "vd_preprocess_extract"):
+        return None
+    if lib.vd_preprocess_extract.argtypes is None:
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.vd_preprocess_extract.restype = ctypes.c_int64
+        lib.vd_preprocess_extract.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(_PreprocessCfg), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), f32p, f32p, ctypes.c_int64,
+        ]
+    return lib
+
+
+def preprocess_extract_native(range_mm, azimuth_rad, vert_rad, cfg,
+                              selected, max_points: int):
+    """Native classify + compact-extract of one sweep (mirrors
+    ops.preprocess_host; reference: src/preprocess.cpp:73-216).
+
+    Returns (points (n, 3) float32, n_valid, classes (R, A) int32), or
+    None when the native library is unavailable.
+    """
+    lib = _load_preprocess()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(range_mm, np.float32)
+    a = np.ascontiguousarray(azimuth_rad, np.float32)
+    v = np.ascontiguousarray(vert_rad, np.float32)
+    R, A = r.shape
+    c = _PreprocessCfg(
+        cfg.vert_init_rad, cfg.sensor_height_mm, cfg.grad_th_deg,
+        cfg.lowpt_th_mm, cfg.height_th_mm, cfg.dist_th_mm,
+        cfg.angdiff_th_rad,
+        cfg.car_x_mm[0], cfg.car_x_mm[1], cfg.car_y_mm[0], cfg.car_y_mm[1],
+        cfg.car_z_mm[0], cfg.car_z_mm[1],
+    )
+    classes = np.empty((R, A), np.int32)
+    xyz = np.empty((R, A, 3), np.float32)
+    pts = np.empty((max_points, 3), np.float32)
+    if selected is not None:
+        sel = np.ascontiguousarray(
+            np.asarray(selected, bool).astype(np.uint8)
+        )
+        sel_p = sel.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    else:
+        sel_p = None
+    f32p = ctypes.POINTER(ctypes.c_float)
+    n = lib.vd_preprocess_extract(
+        r.ctypes.data_as(f32p), a.ctypes.data_as(f32p),
+        v.ctypes.data_as(f32p), R, A, ctypes.byref(c), sel_p,
+        classes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        xyz.ctypes.data_as(f32p), pts.ctypes.data_as(f32p), max_points,
+    )
+    if n < 0:
+        return None
+    return pts[:n].copy(), int(n), classes

@@ -189,14 +189,26 @@ class SlamEngine:
         # point while shrinking the O(N^2) neighborhood grids (~4-8x fewer
         # Pallas grid steps on typical urban frames).
         if self.host_preprocess:
-            from bshot_slam_tpu.ops import preprocess_host as ph
+            # Native C++ classify+extract when built (~2 ms/frame vs ~11 ms
+            # numpy; cell-exact classes — cross-tested), numpy fallback.
+            from bshot_slam_tpu.io import native_decoder as nd
 
-            classes, xyz, valid = ph.preprocess_host(
-                range_mm, azimuth_rad, vert_rad, self.cfg.preprocess
+            out = nd.preprocess_extract_native(
+                range_mm, azimuth_rad, vert_rad, self.cfg.preprocess,
+                selected, self.cfg.preprocess.max_points,
             )
-            pts, nv = ph.extract_cloud_host(
-                classes, xyz, valid, selected, self.cfg.preprocess.max_points
-            )
+            if out is not None:
+                pts, nv, _ = out
+            else:
+                from bshot_slam_tpu.ops import preprocess_host as ph
+
+                classes, xyz, valid = ph.preprocess_host(
+                    range_mm, azimuth_rad, vert_rad, self.cfg.preprocess
+                )
+                pts, nv = ph.extract_cloud_host(
+                    classes, xyz, valid, selected,
+                    self.cfg.preprocess.max_points,
+                )
             b = pick_bucket(nv, self.cfg)
             points = np.zeros((b, 3), np.float32)
             points[:nv] = pts

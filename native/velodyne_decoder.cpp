@@ -407,3 +407,169 @@ void vd_stream_close(VdStream* s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native sweep preprocessing: ground / self-car / occlusion classification +
+// compact extraction, mirroring bshot_slam_tpu/ops/preprocess_host.py rule
+// for rule (itself the float32 restatement of the reference's Preprocessor,
+// src/preprocess.cpp:73-216).  One call classifies a (n_rings, n_az) range
+// image and emits the kept points in azimuth-major order — the whole host
+// side of a frame in ~1-2 ms of C instead of ~11 ms of numpy.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace {
+constexpr int kClassKeep = 0;
+constexpr int kClassGround = 1;
+constexpr int kClassSelfcar = 2;
+constexpr int kClassOccluded = 3;
+constexpr float kEps = 1e-6f;
+}  // namespace
+
+extern "C" {
+
+struct PreprocessCfg {
+  float vert_init_rad;
+  float sensor_height_mm;
+  float grad_th_deg;
+  float lowpt_th_mm;
+  float height_th_mm;
+  float dist_th_mm;
+  float angdiff_th_rad;
+  float car_x0, car_x1, car_y0, car_y1, car_z0, car_z1;
+};
+
+// Classify every cell and emit kept XYZ points (azimuth-major order).
+// `selected` is an optional (n_rings*n_az) 0/1 mask (NULL = all selected,
+// matching save_sel=True semantics).  Returns the number of kept points
+// written to points_out (capped at max_points), or -1 on bad arguments.
+int64_t vd_preprocess_extract(
+    const float* range_mm, const float* az_rad, const float* vert_rad,
+    int n_rings, int n_az, const PreprocessCfg* cfg,
+    const uint8_t* selected,
+    int32_t* classes_out, float* xyz_out, float* points_out,
+    int64_t max_points) {
+  if (n_rings <= 0 || n_az <= 0 || !cfg) return -1;
+  const float grad_th = cfg->grad_th_deg;
+  const float H = cfg->sensor_height_mm;
+
+  // Per-ring vertical trig.
+  std::vector<float> cv(n_rings), sv(n_rings);
+  for (int r = 0; r < n_rings; ++r) {
+    cv[r] = std::cos(vert_rad[r]);
+    sv[r] = std::sin(vert_rad[r]);
+  }
+
+  // XYZ for every cell (row-major (ring, az)), float32 exactly as
+  // preprocess_host.polar_to_xyz_host.
+  for (int r = 0; r < n_rings; ++r) {
+    for (int a = 0; a < n_az; ++a) {
+      const size_t i = static_cast<size_t>(r) * n_az + a;
+      const float d = range_mm[i];
+      const float az = az_rad[i];
+      xyz_out[3 * i + 0] = d * cv[r] * std::sin(az);
+      xyz_out[3 * i + 1] = d * cv[r] * std::cos(az);
+      xyz_out[3 * i + 2] = d * sv[r];
+    }
+  }
+
+  const float horiz0 = -H / std::tan(cfg->vert_init_rad);
+
+  // Bottom-up ground walk, all columns independent (reference:
+  // preprocess.cpp:73-166; rules mirror _ground_walk_host).
+  for (int a = 0; a < n_az; ++a) {
+    const float az0 = az_rad[a];  // row 0's azimuth for this column
+    float p_prev[3] = {horiz0 * std::sin(az0), horiz0 * std::cos(az0), -H};
+    float p_th[3] = {p_prev[0], p_prev[1], p_prev[2]};
+    bool pig = true, lost = false, set_th = false;
+
+    for (int r = 0; r < n_rings; ++r) {
+      const size_t i = static_cast<size_t>(r) * n_az + a;
+      const float d = range_mm[i];
+      const float* p = &xyz_out[3 * i];
+      const float z = p[2];
+      const float dx = p[0] - p_prev[0], dy = p[1] - p_prev[1],
+                  dz = p[2] - p_prev[2];
+      const float nrm = std::sqrt(dx * dx + dy * dy + dz * dz);
+      float s = dz / (nrm + kEps);
+      if (s > 1.0f) s = 1.0f;
+      if (s < -1.0f) s = -1.0f;
+      const float grad = std::asin(s) * 57.29577951308232f;
+      const float norm_prev = std::sqrt(p_prev[0] * p_prev[0] +
+                                        p_prev[1] * p_prev[1] +
+                                        p_prev[2] * p_prev[2]);
+
+      // Rule 1: remember a threshold point.
+      const bool cond1 = pig && ((grad > grad_th) || (d == 0.0f) ||
+                                 (d < norm_prev));
+      if (cond1) {
+        set_th = true;
+        p_th[0] = p_prev[0]; p_th[1] = p_prev[1]; p_th[2] = p_prev[2];
+      }
+      // Rule 2: ground continuation / lower-ground re-attach.
+      const bool g_keep = pig && (grad < grad_th) && !lost;
+      const bool lower = !pig && (z < cfg->lowpt_th_mm) && (grad < grad_th);
+      int cls = (g_keep || lower) ? kClassGround : kClassKeep;
+      pig = g_keep || lower;
+      if (lower) set_th = false;
+      // Rule 3: lost point.
+      const bool lost_new = d == 0.0f;
+      if (lost_new) { cls = kClassGround; pig = false; }
+      // Rule 4: range shortened vs previous.
+      if ((d < norm_prev) && (d != 0.0f)) { cls = kClassKeep; pig = false; }
+      // Rule 5: threshold-point restart.
+      if (set_th && ((z - p_th[2]) < cfg->height_th_mm) && (z < p_prev[2])) {
+        set_th = false; cls = kClassGround; pig = true;
+      }
+      // Rule 6: self-car crop box.
+      if (p[0] >= cfg->car_x0 && p[0] <= cfg->car_x1 &&
+          p[1] >= cfg->car_y0 && p[1] <= cfg->car_y1 &&
+          z >= cfg->car_z0 && z <= cfg->car_z1) {
+        cls = kClassSelfcar;
+      }
+      classes_out[i] = cls;
+      lost = lost_new;
+      p_prev[0] = p[0]; p_prev[1] = p[1]; p_prev[2] = p[2];
+    }
+  }
+
+  // Occlusion pass (reference: preprocess.cpp:168-199; mirrors
+  // _occlusion_host's previous-valid-neighbor comparison + scatter).
+  for (int r = 0; r < n_rings; ++r) {
+    const size_t row = static_cast<size_t>(r) * n_az;
+    int prev_idx = -1;
+    for (int a = 0; a < n_az; ++a) {
+      const bool valid = range_mm[row + a] > 0.0f;
+      if (valid && prev_idx >= 0) {
+        const float d_dist = range_mm[row + a] - range_mm[row + prev_idx];
+        const float d_hor = az_rad[row + a] - az_rad[row + prev_idx];
+        if (std::fabs(d_dist) > cfg->dist_th_mm &&
+            std::fabs(d_hor) < cfg->angdiff_th_rad) {
+          const size_t mark = d_dist > 0.0f ? row + a : row + prev_idx;
+          if (classes_out[mark] == kClassKeep)
+            classes_out[mark] = kClassOccluded;
+        }
+      }
+      if (valid || a == 0) prev_idx = a;
+    }
+  }
+
+  // Compact extraction, azimuth-major then vertical (reference:
+  // preprocess.cpp:201-216 column-major map walk).
+  int64_t n = 0;
+  for (int a = 0; a < n_az && n < max_points; ++a) {
+    for (int r = 0; r < n_rings && n < max_points; ++r) {
+      const size_t i = static_cast<size_t>(r) * n_az + a;
+      if (range_mm[i] <= 0.0f || classes_out[i] != kClassKeep) continue;
+      if (selected && !selected[i]) continue;
+      points_out[3 * n + 0] = xyz_out[3 * i + 0];
+      points_out[3 * n + 1] = xyz_out[3 * i + 1];
+      points_out[3 * n + 2] = xyz_out[3 * i + 2];
+      ++n;
+    }
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -194,3 +194,47 @@ def test_dual_return_style_duplicate_blocks_survive(tmp_path):
     for s in decoded:
         rec = eng.process_sweep(s)
     assert np.isfinite(eng.trajectory).all()
+
+
+def test_native_preprocess_matches_numpy(tmp_path):
+    """The native classify+extract (vd_preprocess_extract) must reproduce
+    ops.preprocess_host cell-for-cell: identical classes, identical kept
+    count and order, coordinates to f32 trig ulps — on synthetic scenes,
+    a pathological random scene, and with a select-list."""
+    rng = np.random.default_rng(3)
+    sensor = SensorConfig(n_azimuth=512)
+    from bshot_slam_tpu.config import PreprocessConfig
+    from bshot_slam_tpu.ops import preprocess_host as ph
+
+    cfg = PreprocessConfig()
+    sweeps, _ = synthetic.render_sequence(2, sensor, seed=9, n_firings=512)
+    cases = []
+    for sw in sweeps:
+        ri = build_range_image(sw, sensor)
+        cases.append((ri.range_mm, ri.azimuth_rad, ri.vert_rad, None))
+    R, A = sensor.n_rings, sensor.n_azimuth
+    r = rng.uniform(0, 40000, (R, A)).astype(np.float32)
+    r[rng.random((R, A)) < 0.3] = 0.0
+    az = np.broadcast_to(
+        np.linspace(0, 2 * np.pi, A, endpoint=False, dtype=np.float32), (R, A)
+    ).copy()
+    vert = np.deg2rad(np.sort(np.asarray(sensor.vertical_angles_deg))).astype(
+        np.float32
+    )
+    sel = rng.random((R, A)) < 0.5
+    cases.append((r, az, vert, None))
+    cases.append((r, az, vert, sel))
+
+    for r_mm, a_rad, v_rad, selected in cases:
+        cls_h, xyz_h, valid_h = ph.preprocess_host(r_mm, a_rad, v_rad, cfg)
+        pts_h, nv_h = ph.extract_cloud_host(
+            cls_h, xyz_h, valid_h, selected, cfg.max_points
+        )
+        out = native_decoder.preprocess_extract_native(
+            r_mm, a_rad, v_rad, cfg, selected, cfg.max_points
+        )
+        assert out is not None
+        pts_n, nv_n, cls_n = out
+        np.testing.assert_array_equal(cls_n, cls_h)
+        assert nv_n == nv_h > 0
+        np.testing.assert_allclose(pts_n, pts_h, rtol=0, atol=0.05)
