@@ -95,10 +95,14 @@ def decode_packets(
     ok_firing = ((bid == 0) | (bid == 0xEEFF)) & (az_raw < 36000.0)
 
     # Interpolated half-step between firing 0 and 1 of each packet
-    # (reference: VelodyneCapture.h:462-469).
+    # (reference: VelodyneCapture.h:462-469).  A packet whose first two
+    # firings did not BOTH pass the gates gets d01 = 0 — a corrupt raw
+    # azimuth there would otherwise skew (or make negative) the azimuths
+    # of every surviving second-sequence laser in the packet.
     if az_raw.shape[0]:
         d01 = az_raw[:, 1] - az_raw[:, 0]
         d01 = np.where(d01 < 0, d01 + 36000.0, d01) / 2.0
+        d01 = np.where(ok_firing[:, 0] & ok_firing[:, 1], d01, 0.0)
     else:
         d01 = np.zeros((0,))
 
@@ -197,6 +201,6 @@ def encode_packets(sweep_list: Sequence[LaserSweep], sensor: SensorConfig) -> np
         pkt[p]["firings"][f]["azimuth"] = az
         pkt[p]["firings"][f]["returns"]["distance"] = dist
         pkt[p]["firings"][f]["returns"]["intensity"] = inten
-    pkt["sensor_type"] = SENSOR_VLP16 if sensor is VLP16_SENSOR else SENSOR_HDL32E
+    pkt["sensor_type"] = SENSOR_VLP16 if sensor.n_rings == 16 else SENSOR_HDL32E
     pkt["mode"] = 0x37
     return out

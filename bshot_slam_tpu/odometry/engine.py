@@ -272,6 +272,11 @@ class SlamEngine:
         """One frame from a host-preprocessed compact cloud: points
         (bucket, 3) front-compacted, n_valid exact.  One (bucket, 3)
         upload + one dispatch; the validity mask is derived on device."""
+        if self.pipelined and any(e.ri is not None for e in self._pending):
+            # Mixed fused/compact usage: the compact step has no abort
+            # cascade, so an in-flight fused overflow could be silently
+            # built upon — drain the fused frames first (rare path).
+            self._drain(keep=0)
         self._maybe_grow_map()
         self.key, sub = jax.random.split(self.key)
         cap = self.state.map.positions.shape[0]
@@ -372,7 +377,8 @@ class SlamEngine:
         pks = np.asarray(jnp.stack([e.packed for e in batch]))
         rec = None
         for i, (entry, pk) in enumerate(zip(batch, pks)):
-            if pk.shape[0] > 28 and pk[30] == 0.0:
+            if (pk.shape[0] > pipeline.PACKED_LEN
+                    and pk[pipeline.IDX_COMMITTED] == 0.0):
                 # This frame overflowed its predicted bucket (or aborted in
                 # cascade).  Everything from here on — fetched or still in
                 # flight — was a device no-op; re-run it losslessly.
@@ -388,7 +394,7 @@ class SlamEngine:
                       can_backend: bool = True) -> FrameRecord:
         """Finalize one packed row with its [n_valid, bucket, ok] tail:
         bucket feedback, then the standard record build."""
-        n_valid = int(pk[28])
+        n_valid = int(pk[pipeline.IDX_N_VALID])
         # Decaying floor: one spike should not inflate every later frame's
         # bucket forever, but repeated overflow thrash is damped.
         rt = self.cfg.runtime
@@ -417,7 +423,7 @@ class SlamEngine:
                 "non-fused pipelined rows carry pre-sliced clouds and "
                 "cannot overflow"
             )
-            nv = int(pk[28])
+            nv = int(pk[pipeline.IDX_N_VALID])
             b = pick_bucket(nv, self.cfg)
             self._maybe_grow_map()
             cap = self.state.map.positions.shape[0]
@@ -436,15 +442,16 @@ class SlamEngine:
                   can_backend: bool = True) -> FrameRecord:
         # One host fetch for all scalar diagnostics (pipeline packs them),
         # instead of seven round trips — dominant cost on remoted devices.
+        P = pipeline
         rec = FrameRecord(
             pose=pk[:16].reshape(4, 4).astype(np.float32),
-            n_inliers=int(pk[17]),
-            n_mutual=int(pk[16]),
-            gated=bool(pk[18] > 0),
-            map_size=int(pk[21]),
-            icp_rmse=float(pk[22]),
-            corr_stats=pk[23:26].copy(),
-            n_dropped=int(pk[26]),
+            n_inliers=int(pk[P.IDX_N_INLIERS]),
+            n_mutual=int(pk[P.IDX_N_MUTUAL]),
+            gated=bool(pk[P.IDX_GATED] > 0),
+            map_size=int(pk[P.IDX_MAP_SIZE]),
+            icp_rmse=float(pk[P.IDX_ICP_RMSE]),
+            corr_stats=pk[P.IDX_CORR_STATS:P.IDX_CORR_STATS + 3].copy(),
+            n_dropped=int(pk[P.IDX_N_DROPPED]),
         )
         if rec.n_dropped > 0 and not self._warned_drop:
             self._warned_drop = True
@@ -457,7 +464,8 @@ class SlamEngine:
                 stacklevel=2,
             )
         if self.enable_backend:
-            self._maybe_keyframe(diag, rec, abs_frame=int(pk[27]),
+            self._maybe_keyframe(diag, rec,
+                                 abs_frame=int(pk[pipeline.IDX_FRAME]),
                                  map_cap=map_cap)
         if self.keep_corr and diag is not None:
             kp = np.asarray(diag.features.keypoints)

@@ -43,6 +43,26 @@ from bshot_slam_tpu.ops.ransac import ransac_rigid
 from bshot_slam_tpu.ops.shot import shot_descriptors
 
 
+# Packed-diagnostics layout (StepDiagnostics.packed): base length and the
+# named indices drivers read.  _odometry_step_impl's concat, the fused
+# abort skeleton and SlamEngine's row parsing all reference these, so a
+# layout change is a one-place edit.
+PACKED_LEN = 28  # [pose(16), n_mutual, n_inliers, gated, h_diff, t_diff,
+#                  map_size, icp_rmse, corr_stats(3), n_dropped, frame_idx]
+IDX_N_MUTUAL = 16
+IDX_N_INLIERS = 17
+IDX_GATED = 18
+IDX_MAP_SIZE = 21
+IDX_ICP_RMSE = 22
+IDX_CORR_STATS = 23  # ..IDX_CORR_STATS+3
+IDX_N_DROPPED = 26
+IDX_FRAME = 27
+# Pipelined tail (present when the step receives n_valid):
+IDX_N_VALID = 28
+IDX_BUCKET = 29
+IDX_COMMITTED = 30
+
+
 class FrameFeatures(NamedTuple):
     keypoints: jnp.ndarray  # (K, 3) sensor frame
     scores: jnp.ndarray  # (K,) seg ratios
@@ -94,7 +114,7 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         ref=FrameFeatures(
             keypoints=jnp.zeros((K, 3), jnp.float32),
             scores=jnp.zeros((K,), jnp.float32),
-            descriptors=jnp.zeros((K, 11), jnp.uint32),
+            descriptors=jnp.zeros((K, cfg.descriptor.n_words), jnp.uint32),
             mask=jnp.zeros((K,), bool),
         ),
         ref_pose=jnp.eye(4, dtype=jnp.float32),
@@ -454,11 +474,11 @@ def odometry_step_fused(
         feats = FrameFeatures(
             keypoints=jnp.zeros((K, 3), jnp.float32),
             scores=jnp.zeros((K,), jnp.float32),
-            descriptors=jnp.zeros((K, 11), jnp.uint32),
+            descriptors=jnp.zeros((K, cfg.descriptor.n_words), jnp.uint32),
             mask=jnp.zeros((K,), bool),
         )
         packed = jnp.concatenate([
-            jnp.zeros(28, jnp.float32),
+            jnp.zeros(PACKED_LEN, jnp.float32),
             n_valid.astype(jnp.float32)[None],
             jnp.float32(bucket)[None],
             jnp.float32(0.0)[None],

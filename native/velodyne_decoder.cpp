@@ -141,11 +141,20 @@ DecodedCapture* vd_decode_pcap(const char* path, int n_rings) {
     if (pkt.sensor_type != 0 && pkt.sensor_type != expected_sensor) continue;
 
     // VLP-16 half-step interpolation between firings 0 and 1
-    // (reference: VelodyneCapture.h:462-469).
-    double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
-                 static_cast<double>(pkt.firings[0].rotational_position);
-    if (d01 < 0) d01 += 36000.0;
-    d01 *= 0.5;
+    // (reference: VelodyneCapture.h:462-469).  Zero unless BOTH firings
+    // pass the content gates — a corrupt raw azimuth must not skew the
+    // packet's second-sequence lasers.
+    auto firing_ok = [](const FiringData& fd) {
+      return (fd.block_id == 0 || fd.block_id == 0xEEFF) &&
+             fd.rotational_position < 36000;
+    };
+    double d01 = 0.0;
+    if (firing_ok(pkt.firings[0]) && firing_ok(pkt.firings[1])) {
+      d01 = static_cast<double>(pkt.firings[1].rotational_position) -
+            static_cast<double>(pkt.firings[0].rotational_position);
+      if (d01 < 0) d01 += 36000.0;
+      d01 *= 0.5;
+    }
 
     for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
       const FiringData& fd = pkt.firings[fi];
@@ -292,10 +301,17 @@ struct VdStream {
       if (pkt.sensor_type != 0 && pkt.sensor_type != expected_sensor)
         continue;
 
-      double d01 = static_cast<double>(pkt.firings[1].rotational_position) -
-                   static_cast<double>(pkt.firings[0].rotational_position);
-      if (d01 < 0) d01 += 36000.0;
-      d01 *= 0.5;
+      auto firing_ok = [](const FiringData& fd) {
+        return (fd.block_id == 0 || fd.block_id == 0xEEFF) &&
+               fd.rotational_position < 36000;
+      };
+      double d01 = 0.0;
+      if (firing_ok(pkt.firings[0]) && firing_ok(pkt.firings[1])) {
+        d01 = static_cast<double>(pkt.firings[1].rotational_position) -
+              static_cast<double>(pkt.firings[0].rotational_position);
+        if (d01 < 0) d01 += 36000.0;
+        d01 *= 0.5;
+      }
 
       for (int fi = 0; fi < kFiringsPerPkt; ++fi) {
         const FiringData& fd = pkt.firings[fi];

@@ -176,3 +176,45 @@ def test_corrupt_pcap_inputs_fail_gracefully(tmp_path):
         # truncated-after-magic: opens, yields nothing, closes cleanly
         s = native_decoder.NativeSweepStream(str(trunc), cfg.sensor)
         assert list(s) == []
+
+
+def test_encode_sensor_byte_by_ring_count():
+    """encode_packets must stamp the factory byte from the sensor's ring
+    count, not object identity: a customized (non-singleton) VLP-16 config
+    previously round-tripped to ZERO points because decode's sensor gate
+    keyed on n_rings while encode compared `sensor is VLP16_SENSOR`."""
+    import dataclasses
+
+    sensor = dataclasses.replace(VLP16_SENSOR, n_azimuth=256)
+    sweep = velodyne.LaserSweep(
+        azimuth_deg=np.array([10.0, 20.0, 30.0]),
+        ring=np.array([0, 1, 2], np.int32),
+        distance=np.array([500, 600, 700], np.uint16),
+        intensity=np.array([1, 2, 3], np.uint8),
+    )
+    payloads = velodyne.encode_packets([sweep, sweep], sensor)
+    pk = payloads.view(velodyne._PACKET_DTYPE).reshape(-1)
+    assert (pk["sensor_type"] == velodyne.SENSOR_VLP16).all()
+    az, ring, dist, _ = velodyne.decode_packets(payloads, sensor)
+    # Both sweeps' returns survive the gate (encode pads short packets
+    # with copies of the last firing, so >= not ==).
+    assert (dist > 0).sum() >= 6
+
+
+def test_corrupt_lead_firing_does_not_skew_vlp16_interpolation():
+    """A gated-out firing 0 must not poison the packet's VLP-16 half-step
+    interpolation (d01): previously az_raw[0]=40000 made d01 negative and
+    pushed surviving second-sequence lasers to negative azimuths."""
+    payload = np.zeros((1, velodyne.PACKET_SIZE), np.uint8)
+    pkt = payload.view(velodyne._PACKET_DTYPE).reshape(1)
+    for f in range(velodyne.FIRING_PER_PKT):
+        pkt[0]["firings"][f]["azimuth"] = 1000 + 40 * f
+        pkt[0]["firings"][f]["returns"]["distance"] = 500
+    pkt[0]["firings"][0]["azimuth"] = 40000  # corrupt: gated out
+    pkt[0]["sensor_type"] = velodyne.SENSOR_VLP16
+    az, ring, dist, _ = velodyne.decode_packets(payload, VLP16_SENSOR)
+    assert (az >= 0).all() and (az < 360).all()
+    # The corrupt firing's 32 lasers are gone; the rest survive with their
+    # raw azimuths (d01 fell back to 0 for this packet).
+    assert az.shape[0] == (velodyne.FIRING_PER_PKT - 1) * 32
+    assert np.isclose(az.min(), 10.4)
