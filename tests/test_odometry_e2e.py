@@ -245,6 +245,35 @@ def test_pipelined_overflow_is_lossless():
         assert a.n_inliers == b.n_inliers
 
 
+def test_host_path_count_spike_is_exact_bucketed():
+    """On the default (host-preprocessed) ingest path a count spike needs
+    no overflow machinery at all: the kept count is known before dispatch,
+    every frame runs at its exact bucket, and pipelined matches sync."""
+    import dataclasses
+
+    from bshot_slam_tpu.config import RuntimeConfig
+
+    cfg = dataclasses.replace(
+        small_cfg(),
+        runtime=RuntimeConfig(cloud_buckets=(1024, 2048, 4096, 8192)),
+    )
+    frames = _overflow_sequence(cfg)
+    vert1d = np.deg2rad(np.sort(np.array(cfg.sensor.vertical_angles_deg)))
+
+    sync = SlamEngine(cfg, seed=0, tile=1024)  # host_preprocess default
+    for r, az in frames:
+        sync.process_range_image(r, az, vert1d)
+    pipe = SlamEngine(cfg, seed=0, tile=1024, pipelined=True, fetch_every=4)
+    for r, az in frames:
+        pipe.process_range_image(r, az, vert1d)
+    pipe.flush()
+    assert pipe.n_redispatched == 0  # structurally unreachable here
+    assert len(pipe.records) == len(sync.records) == len(frames)
+    for a, b in zip(pipe.records, sync.records):
+        np.testing.assert_allclose(a.pose, b.pose, atol=1e-5)
+        assert a.map_size == b.map_size
+
+
 def test_pick_bucket_ladder():
     from bshot_slam_tpu.config import default_config
     from bshot_slam_tpu.odometry.engine import pick_bucket
