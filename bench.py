@@ -82,7 +82,7 @@ def main(n_frames: int = 129, full: bool = False) -> None:
 
     # 100+ DISTINCT frames of a realistic HDL-32E-resolution drive
     # (scene simulation is not SLAM work: rendering stays untimed).
-    sweeps, _ = synthetic.render_sequence(
+    sweeps, gt = synthetic.render_sequence(
         n_frames, sensor, step_mm=400.0, noise_mm=20.0, seed=0,
         n_firings=sensor.n_azimuth, yaw_rate_rad=2 * np.pi / n_frames,
     )
@@ -114,8 +114,26 @@ def main(n_frames: int = 129, full: bool = False) -> None:
 
     # Honest timed pass: engine end to end, one fused dispatch per frame.
     engine_fps = engine_pass()
-    final = engine_pass.last.records[-1]
-    n_redispatched = engine_pass.last.n_redispatched
+    eng = engine_pass.last
+    final = eng.records[-1]
+    n_redispatched = eng.n_redispatched
+
+    # Quality guard (VERDICT r4 weak #7: a speedup that wrecks the
+    # trajectory must not ship a better-looking bench): ATE vs the exact
+    # synthetic ground truth rides in the headline JSON, and a collapsed
+    # run (inliers below the pose gate on the final frames, or ATE beyond
+    # 5% of path length) fails the bench loudly.
+    from bshot_slam_tpu.utils.metrics import ate_rmse
+
+    gt_rel = np.linalg.inv(gt[0])[None] @ gt
+    gt_pos = gt_rel[:, :3, 3]
+    ate_mm = float(ate_rmse(eng.trajectory, gt_pos, align=False))
+    path_mm = float(np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum())
+    tail_inliers = [r.n_inliers for r in eng.records[-8:]]
+    quality_ok = (
+        ate_mm < 0.05 * path_mm
+        and max(tail_inliers) >= cfg.match.gate_min_inliers
+    )
 
     # Headline FIRST (a driver timeout during extras must still parse it).
     print(
@@ -125,6 +143,8 @@ def main(n_frames: int = 129, full: bool = False) -> None:
                 "value": round(engine_fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(engine_fps / BASELINE_FPS, 2),
+                "ate_vs_gt_mm": round(ate_mm, 1),
+                "quality_ok": quality_ok,
             }
         ),
         flush=True,
@@ -133,11 +153,19 @@ def main(n_frames: int = 129, full: bool = False) -> None:
         f"# honest engine fps (process_sweep e2e, {n_frames} distinct frames,"
         f" map>={PREFILL_LANDMARKS}): {engine_fps:.1f} | "
         f"final map={final.map_size} inliers={final.n_inliers} "
-        f"redispatched={n_redispatched} "
+        f"redispatched={n_redispatched} ate={ate_mm:.0f}mm/{path_mm:.0f}mm "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,
         flush=True,
     )
+    if not quality_ok:
+        print(
+            f"# QUALITY COLLAPSE: ate={ate_mm:.0f}mm (path {path_mm:.0f}mm),"
+            f" tail inliers {tail_inliers} — fps headline is meaningless",
+            file=sys.stderr,
+            flush=True,
+        )
+        raise SystemExit(1)
 
     if not full:
         return

@@ -166,4 +166,6 @@ def load_backend(path: str, engine) -> bool:
         engine._last_kf_pose = z["last_kf_pose"]
         engine._frames_since_kf = int(z["frames_since_kf"])
         engine.key = _jnp.asarray(z["rng_key"])
+        # Host mirror of the device count (saturation/eviction policy).
+        engine._kf_count = int(z["kf_count"])
     return True

@@ -248,6 +248,17 @@ class RuntimeConfig:
     map_buckets: Tuple[int, ...] = (16384, 32768, 65536, 131072)
     # dtype used for MXU Hamming/distance matmuls.
     matmul_dtype: str = "bfloat16"
+    # Window compaction: once per frame, map rows whose voxel block
+    # intersects the query AABB are gathered into a (window_cap, ...)
+    # compact candidate buffer, and matching / ICP NN / insert-dedup run
+    # over the compact buffer instead of scanning the whole capacity —
+    # the TPU analog of the reference iterating only window blocks
+    # (reference: mymap.cpp:28-74).  Lossless: when the window holds more
+    # than window_cap rows a lax.cond falls back to the dense full-map
+    # scan.  Statically disabled when capacity <= window_cap (small maps
+    # scan everything anyway).
+    window_compact: bool = True
+    window_cap: int = 32768
     # Top-k selection for keypoints + SHOT neighbors: False uses TPU
     # approx_max_k (recall 0.95, faster), True uses exact lax.top_k.
     # Approx selection makes TPU trajectories diverge from the exact CPU
@@ -255,6 +266,16 @@ class RuntimeConfig:
     # path — GOLDEN_TPU_r04.json); set True when TPU-vs-CPU parity
     # matters more than the throughput delta.
     exact_topk: bool = False
+    # Two-stage top-k for SHOT neighbor selection (and keypoint scoring):
+    # the candidate axis is split into `topk_chunks` chunks, each takes a
+    # chunk-local top-M, and a final top-k reduces the M*chunks survivors.
+    # Chunk-local top-M is a SUPERSET of the global top-M's members per
+    # chunk, so exact mode stays exact (up to tie order).  On a sharded
+    # cloud whose shard count divides topk_chunks, stage one is entirely
+    # shard-local — replacing GSPMD's approx_top_k resharding all-to-all
+    # (59 MB/step measured, COLLECTIVES_r04.json) with one small gather
+    # of the survivors.  0/1 disables (single-stage).
+    topk_chunks: int = 8
     # Mesh axis names for the multi-chip path.
     mesh_axes: Tuple[str, ...] = ("data", "map")
 

@@ -148,6 +148,12 @@ class SlamEngine:
         self._warned_drop = False
         self._warned_evict = False
         self.n_evicted = 0  # cumulative keypoints evicted at capacity
+        # Keyframe saturation: host mirror of keyframes.count (so the
+        # pipelined path never syncs on it), cumulative evictions, and the
+        # one-time warning flag.
+        self._kf_count = 0
+        self.n_kf_evicted = 0
+        self._warned_kf_evict = False
         # keep_corr: retain each finalized frame's correspondence pairs
         # (world-frame source keypoints + matched candidate indices +
         # inlier flags) for visualization — the reference's second viewer
@@ -559,6 +565,29 @@ class SlamEngine:
         ):
             self._frames_since_kf += 1
             return
+        # Saturation: evict the most redundant keyframe (smallest created
+        # pose gap, anchor + recent quarter protected) instead of silently
+        # dropping new loop-closure/BA material at max_keyframes.
+        Mk = self.cfg.backend.max_keyframes
+        if self._kf_count >= Mk:
+            slot = kf_mod.pick_eviction_slot(
+                np.asarray(self.keyframes.poses[:, :3, 3]), self._kf_count
+            )
+            self.keyframes = kf_mod.evict_keyframe(
+                self.keyframes, jnp.asarray(slot, jnp.int32)
+            )
+            self._kf_count -= 1
+            self.n_kf_evicted += 1
+            if not self._warned_kf_evict:
+                self._warned_kf_evict = True
+                import warnings
+
+                warnings.warn(
+                    f"keyframe store saturated at {Mk}: evicting the most "
+                    "redundant keyframe per new add (raise "
+                    "BackendConfig.max_keyframes for long sequences)",
+                    stacklevel=2,
+                )
         # Landmark observations: inlier matches whose candidate index falls
         # inside the map capacity AT STEP TIME (the rest matched the
         # previous frame's keypoint block appended after it; the map may
@@ -573,6 +602,7 @@ class SlamEngine:
             self.keyframes, jnp.asarray(rec.pose), diag.features,
             jnp.asarray(abs_frame), obs_lm,
         )
+        self._kf_count += 1
         self._last_kf_pose = rec.pose
         self._frames_since_kf = 1
 

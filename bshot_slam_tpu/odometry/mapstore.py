@@ -110,7 +110,42 @@ def block_coords(pos: jnp.ndarray, block_mm: float) -> jnp.ndarray:
     return jnp.round(pos / block_mm).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def _dedup_against(
+    pos: jnp.ndarray,
+    blk: jnp.ndarray,
+    seg: jnp.ndarray,
+    m_pos: jnp.ndarray,
+    m_blk: jnp.ndarray,
+    m_seg: jnp.ndarray,
+    m_valid: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    cfg: MapConfig,
+) -> jnp.ndarray:
+    """(K,) True where an existing same-block candidate within the dedup
+    radius has seg_ratio >= the newcomer's (reference: mymap.cpp:16-24).
+    TPU runs the cursor-bounded Pallas kernel; elsewhere dense masked."""
+    if jax.default_backend() == "tpu":
+        from bshot_slam_tpu.kernels.mapops import dedup_blocked_bounded
+
+        return dedup_blocked_bounded(
+            pos, blk, seg, m_pos, m_blk, m_seg, m_valid, n_valid,
+            dedup_radius=cfg.dedup_radius_mm,
+        )
+    r2 = cfg.dedup_radius_mm * cfg.dedup_radius_mm
+    d2 = _pair_d2(pos, m_pos)  # (K, C)
+    same_block = jnp.all(blk[:, None, :] == m_blk[None, :, :], axis=-1)
+    blocker = (
+        m_valid[None, :]
+        & same_block
+        & (d2 < r2)
+        & (m_seg[None, :] >= seg[:, None])
+    )
+    return jnp.any(blocker, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "window_cap"), donate_argnames=("state",)
+)
 def insert_keypoints(
     state: MapState,
     pos: jnp.ndarray,  # (K, 3) world-frame keypoint positions
@@ -119,6 +154,7 @@ def insert_keypoints(
     kmask: jnp.ndarray,  # (K,)
     cfg: MapConfig,
     frame_idx: jnp.ndarray | int = -1,  # () int32 provenance for frame_born
+    window_cap: int | None = None,  # compact dedup candidates (see below)
 ) -> MapState:
     """Batched equivalent of K sequential `Map::addKeypoint` calls."""
     fidx = jnp.asarray(frame_idx, jnp.int32)
@@ -128,26 +164,45 @@ def insert_keypoints(
 
     # --- dedup against the existing map ---
     # The map region is append-only (valid rows are exactly [0, cursor)),
-    # so the TPU kernel skips candidate tiles past the cursor.
-    if jax.default_backend() == "tpu":
-        from bshot_slam_tpu.kernels.mapops import dedup_blocked_bounded
+    # so the TPU kernel skips candidate tiles past the cursor.  With
+    # `window_cap`, candidates are first compacted to the map rows whose
+    # block lies inside the new batch's block AABB — an exact superset of
+    # possible blockers (a blocker shares a block with some newcomer), the
+    # compaction analog of the reference touching only the blocks it
+    # inserts into (mymap.cpp:4-26).  Overflow falls back to the dense
+    # scan (lossless).
+    C = state.positions.shape[0]
+    if window_cap is not None and C > window_cap:
+        W = window_cap
+        big = jnp.int32(2**30)
+        lo = jnp.min(jnp.where(kmask[:, None], blk, big), axis=0)
+        hi = jnp.max(jnp.where(kmask[:, None], blk, -big), axis=0)
+        inwin = state.valid & jnp.all(
+            (state.blocks >= lo[None, :]) & (state.blocks <= hi[None, :]),
+            axis=-1,
+        )
+        n_win = jnp.sum(inwin.astype(jnp.int32))
+        widx = jnp.nonzero(inwin, size=W, fill_value=C - 1)[0]
+        wmask = jnp.arange(W, dtype=jnp.int32) < n_win
 
-        rejected_by_map = dedup_blocked_bounded(
-            pos, blk, seg, state.positions, state.blocks, state.seg_ratios,
-            state.valid, state.cursor, dedup_radius=cfg.dedup_radius_mm,
-        )
+        def _dense(_):
+            return _dedup_against(
+                pos, blk, seg, state.positions, state.blocks,
+                state.seg_ratios, state.valid, state.cursor, cfg,
+            )
+
+        def _compact(_):
+            return _dedup_against(
+                pos, blk, seg, state.positions[widx], state.blocks[widx],
+                state.seg_ratios[widx], wmask, n_win, cfg,
+            )
+
+        rejected_by_map = jax.lax.cond(n_win > W, _dense, _compact, None)
     else:
-        d2 = _pair_d2(pos, state.positions)  # (K, C)
-        same_block = jnp.all(
-            blk[:, None, :] == state.blocks[None, :, :], axis=-1
+        rejected_by_map = _dedup_against(
+            pos, blk, seg, state.positions, state.blocks, state.seg_ratios,
+            state.valid, state.cursor, cfg,
         )
-        blocker = (
-            state.valid[None, :]
-            & same_block
-            & (d2 < r2)
-            & (state.seg_ratios[None, :] >= seg[:, None])
-        )
-        rejected_by_map = jnp.any(blocker, axis=1)
 
     # --- sequential-shadow dedup within the batch (i sees j < i) ---
     d2b = _pair_d2(pos, pos)

@@ -208,21 +208,65 @@ def _match_and_estimate(
     # (map first, then ref — the reference's build order, which its strict-<
     # minimum scans turn into map-wins tie-breaking: lidar_odometry.cpp:
     # 196-208,217-242).  Valid map rows are the append-only prefix
-    # [0, cursor); the ref block rides at [capacity, capacity + K) and is
-    # always live, so the Pallas kernels skip only the empty middle.
+    # [0, cursor); the ref block rides after the map region and is always
+    # live, so the Pallas kernels skip only the empty middle.
     win = mapstore.query_mask(state.map, center, mcfg.map_query_range_mm, cfg.map)
     ref_world = se3.apply(ref_pose, state.ref.keypoints)
     capacity = state.map.positions.shape[0]
-    cand_pos = jnp.concatenate([state.map.positions, ref_world], axis=0)
-    cand_desc = jnp.concatenate([state.map.descriptors, state.ref.descriptors])
-    cand_mask = jnp.concatenate([win, state.ref.mask])
 
-    matches = hamming.mutual_nn_bounded(
-        src.descriptors, src.mask, cand_desc, cand_mask, state.map.cursor,
-        tail_start=capacity,
-    )
-    corr_dst = cand_pos[matches.src_to_ref]
-    cmask = matches.mutual
+    # Window compaction (reference: mymap.cpp:28-74 iterates ONLY the voxel
+    # blocks inside the query AABB): gather the in-window map rows into a
+    # (window_cap, ...) compact buffer once, so matching and ICP scale with
+    # the local map density instead of the total map size.  `widx` is
+    # ascending, preserving the reference's lowest-index tie-breaking.
+    # Lossless: if the window overflows the cap, lax.cond falls back to the
+    # dense full-capacity scan (the pre-compaction path).
+    W = cfg.runtime.window_cap
+    use_compact = cfg.runtime.window_compact and capacity > W
+    if use_compact:
+        n_win = jnp.sum(win.astype(jnp.int32))
+        widx = jnp.nonzero(win, size=W, fill_value=capacity - 1)[0]
+        wmask = jnp.arange(W, dtype=jnp.int32) < n_win
+        overflow = n_win > W
+
+    def _nn_dense(_):
+        cand_desc = jnp.concatenate(
+            [state.map.descriptors, state.ref.descriptors]
+        )
+        cand_mask = jnp.concatenate([win, state.ref.mask])
+        cand_pos = jnp.concatenate([state.map.positions, ref_world], axis=0)
+        m = hamming.mutual_nn_bounded(
+            src.descriptors, src.mask, cand_desc, cand_mask, state.map.cursor,
+            tail_start=capacity,
+        )
+        return cand_pos[m.src_to_ref], m.mutual, m.src_to_ref
+
+    def _nn_compact(_):
+        wpos = jnp.where(wmask[:, None], state.map.positions[widx], 0.0)
+        wdesc = jnp.where(
+            wmask[:, None], state.map.descriptors[widx], jnp.uint32(0)
+        )
+        cand_desc = jnp.concatenate([wdesc, state.ref.descriptors])
+        cand_mask = jnp.concatenate([wmask, state.ref.mask])
+        cand_pos = jnp.concatenate([wpos, ref_world], axis=0)
+        m = hamming.mutual_nn_bounded(
+            src.descriptors, src.mask, cand_desc, cand_mask, n_win,
+            tail_start=W,
+        )
+        # Translate compact candidate indices back to the full-map index
+        # space [0, capacity + K) so BA/keyframing semantics are unchanged.
+        full_idx = jnp.where(
+            m.src_to_ref < W, widx[m.src_to_ref],
+            capacity + (m.src_to_ref - W),
+        )
+        return cand_pos[m.src_to_ref], m.mutual, full_idx
+
+    if use_compact:
+        corr_dst, cmask, corr_index = jax.lax.cond(
+            overflow, _nn_dense, _nn_compact, None
+        )
+    else:
+        corr_dst, cmask, corr_index = _nn_dense(None)
 
     rr = ransac_rigid(
         key, src.keypoints, corr_dst, cmask,
@@ -245,16 +289,39 @@ def _match_and_estimate(
     # ICP refinement against the candidate set
     # (reference: lidar_odometry.cpp:291-299).
     src_est = se3.apply(T_est, src.keypoints)
-    icp = icp_point_to_point(
-        src_est, src.mask, cand_pos, cand_mask,
-        iterations=mcfg.icp_iterations,
-        max_corr_dist=mcfg.icp_max_corr_dist_mm,
-        n_valid_dst=state.map.cursor,
-        tail_start=capacity,
-    )
-    T_best = jnp.where(
-        mcfg.run_icp, se3.compose(icp.transform, T_est), T_j
-    )
+
+    def _icp_dense(_):
+        cand_pos = jnp.concatenate([state.map.positions, ref_world], axis=0)
+        cand_mask = jnp.concatenate([win, state.ref.mask])
+        r = icp_point_to_point(
+            src_est, src.mask, cand_pos, cand_mask,
+            iterations=mcfg.icp_iterations,
+            max_corr_dist=mcfg.icp_max_corr_dist_mm,
+            n_valid_dst=state.map.cursor,
+            tail_start=capacity,
+        )
+        return r.transform, r.rmse
+
+    def _icp_compact(_):
+        wpos = jnp.where(wmask[:, None], state.map.positions[widx], 0.0)
+        cand_pos = jnp.concatenate([wpos, ref_world], axis=0)
+        cand_mask = jnp.concatenate([wmask, state.ref.mask])
+        r = icp_point_to_point(
+            src_est, src.mask, cand_pos, cand_mask,
+            iterations=mcfg.icp_iterations,
+            max_corr_dist=mcfg.icp_max_corr_dist_mm,
+            n_valid_dst=n_win,
+            tail_start=W,
+        )
+        return r.transform, r.rmse
+
+    if use_compact:
+        T_icp, icp_rmse_v = jax.lax.cond(
+            overflow, _icp_dense, _icp_compact, None
+        )
+    else:
+        T_icp, icp_rmse_v = _icp_dense(None)
+    T_best = jnp.where(mcfg.run_icp, se3.compose(T_icp, T_est), T_j)
     n_mutual = jnp.sum(cmask.astype(jnp.int32))
 
     # Correspondence-quality stats over RANSAC inliers after the final
@@ -276,8 +343,8 @@ def _match_and_estimate(
         jnp.stack([c_mean, c_std, c_median]),
         jnp.zeros(3, jnp.float32),
     )
-    return (T_best, rr, matches, n_mutual, gate, h_diff, t_diff, icp.rmse,
-            corr_stats)
+    return (T_best, rr, corr_index, n_mutual, gate, h_diff, t_diff,
+            icp_rmse_v, corr_stats)
 
 
 def _odometry_step_impl(
@@ -296,7 +363,7 @@ def _odometry_step_impl(
     the same device->host transfer as the diagnostics."""
     src = compute_features(points, pmask, cfg, tile)
 
-    (T_best, rr, matches, n_mutual, gate, h_diff, t_diff,
+    (T_best, rr, corr_index, n_mutual, gate, h_diff, t_diff,
      icp_rmse, corr_stats) = _match_and_estimate(key, src, state, cfg)
 
     # INITIAL frame: identity pose, no gating (reference: self-match branch).
@@ -310,6 +377,9 @@ def _odometry_step_impl(
     new_map = mapstore.insert_keypoints(
         state.map, world_kp, src.descriptors, src.scores, src.mask, cfg.map,
         frame_idx=state.frame_idx,
+        window_cap=(
+            cfg.runtime.window_cap if cfg.runtime.window_compact else None
+        ),
     )
 
     new_state = OdometryState(
@@ -353,7 +423,7 @@ def _odometry_step_impl(
         map_size=msize,
         icp_rmse=icp_rmse,
         corr_stats=corr_stats,
-        corr_index=matches.src_to_ref.astype(jnp.int32),
+        corr_index=corr_index.astype(jnp.int32),
         corr_inlier=rr.inliers & ~is_initial,
         features=src,
         n_dropped=new_map.n_dropped,
