@@ -154,12 +154,14 @@ def compute_features(
         # which the saliency heuristic never guaranteed anyway.
         # RuntimeConfig.exact_topk forces the exact path (TPU-vs-CPU
         # trajectory parity; measured divergence in GOLDEN_TPU_r04.json).
-        if cfg.runtime.exact_topk:
-            top_scores, top_idx = jax.lax.top_k(scores, cfg.keypoints.top_k)
-        else:
-            top_scores, top_idx = jax.lax.approx_max_k(
-                scores, cfg.keypoints.top_k, recall_target=0.95
-            )
+        # topk_chunks makes the selection two-stage (shard-local first
+        # stage under a data-sharded mesh — see ops.shot.chunked_top_k).
+        from bshot_slam_tpu.ops.shot import chunked_top_k
+
+        top_scores, top_idx = chunked_top_k(
+            scores, cfg.keypoints.top_k, cfg.runtime.topk_chunks,
+            cfg.runtime.exact_topk,
+        )
         kmask = jnp.isfinite(top_scores)
         from bshot_slam_tpu.ops.keypoints import Keypoints
 
@@ -182,6 +184,7 @@ def compute_features(
     desc_f, desc_valid = shot_descriptors(
         kps.positions, kps.mask, points, pmask, normals, cfg.descriptor,
         exact_topk=cfg.runtime.exact_topk,
+        topk_chunks=cfg.runtime.topk_chunks,
     )
     words = bshot.bshot_from_shot(desc_f, cfg.descriptor)
     return FrameFeatures(

@@ -187,7 +187,7 @@ def _soft_bins(
     return lo_i, hi_i, 1.0 - frac, frac
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "exact_topk"))
+@functools.partial(jax.jit, static_argnames=("cfg", "exact_topk", "topk_chunks"))
 def shot_descriptors(
     keypoints: jnp.ndarray,
     kp_mask: jnp.ndarray,
@@ -196,6 +196,7 @@ def shot_descriptors(
     normals: jnp.ndarray,
     cfg: DescriptorConfig,
     exact_topk: bool = False,
+    topk_chunks: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """SHOT descriptors for all keypoints.
 
@@ -204,7 +205,7 @@ def shot_descriptors(
     radius = cfg.shot_radius_mm
     g = gather_neighbors(
         keypoints, kp_mask, points, mask, normals, radius, cfg.max_neighbors,
-        exact=exact_topk,
+        exact=exact_topk, topk_chunks=topk_chunks,
     )
     frames, lrf_valid = local_reference_frames(g, radius)
 

@@ -95,6 +95,17 @@ def sharded_odometry_step(
     mask_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
 
+    # Window compaction is a single-chip optimization: its widx gather
+    # would all-gather the map arrays across the map axis (~7 MB/step
+    # measured), while the dense masked scan it replaces is ALREADY
+    # partitioned over that axis (each device scans capacity/n_map rows).
+    # Dense wins on a mesh; compaction wins on one chip.
+    import dataclasses as _dc
+
+    cfg = _dc.replace(
+        cfg, runtime=_dc.replace(cfg.runtime, window_compact=False)
+    )
+
     def _step(state, points, pmask, key):
         return pipeline.odometry_step.__wrapped__(
             state, points, pmask, key, cfg, tile

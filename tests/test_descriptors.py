@@ -190,3 +190,60 @@ def test_bshot_pipeline_discriminates(rng):
     same = np.diag(d)[ok]
     off = d[np.ix_(ok, ok)][~np.eye(ok.sum(), dtype=bool)]
     assert same.mean() < off.mean() - 10, (same.mean(), off.mean())
+
+
+# ---------- two-stage (chunked) top-k ----------
+
+def test_chunked_top_k_exact_matches_global(rng):
+    """Exact chunked selection returns the same member SET (and sorted
+    values) as a single global top-k — the correctness premise of the
+    two-stage distributed top-k (chunk-local top-k is a superset of the
+    global top-k's members in that chunk)."""
+    score = rng.normal(0, 1, (7, 512)).astype(np.float32)
+    score[rng.uniform(size=score.shape) < 0.3] = -np.inf
+    for chunks in (2, 4, 8):
+        v, i = shot.chunked_top_k(jnp.asarray(score), 32, chunks, exact=True)
+        gv, gi = shot.chunked_top_k(jnp.asarray(score), 32, 1, exact=True)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(gv))
+        for r in range(score.shape[0]):
+            got = np.asarray(i[r])
+            want = np.asarray(gi[r])
+            fin = np.isfinite(np.asarray(v[r]))
+            assert set(got[fin]) == set(want[fin])
+
+
+def test_chunked_top_k_falls_back_on_bad_split(rng):
+    """Non-dividing chunk counts / too-small chunks use the single-stage
+    path (no shape errors, same results)."""
+    score = rng.normal(0, 1, (3, 100)).astype(np.float32)
+    v1, i1 = shot.chunked_top_k(jnp.asarray(score), 10, 7, exact=True)
+    v0, i0 = shot.chunked_top_k(jnp.asarray(score), 10, 1, exact=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    # chunk size would be < k: falls back too
+    v2, _ = shot.chunked_top_k(jnp.asarray(score), 60, 4, exact=True)
+    want = np.sort(score, axis=-1)[:, ::-1][:, :60]
+    np.testing.assert_allclose(np.asarray(v2), want)
+
+
+def test_shot_descriptors_chunked_matches_single_stage(rng):
+    """Descriptors from chunked neighbor selection must match the
+    single-stage exact path (same neighbor set; accumulation order may
+    differ, so tolerance is float-roundoff scale)."""
+    n = 1024
+    pts = rng.uniform(-4000, 4000, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    cfg = DescriptorConfig(max_neighbors=96)
+    normals, _, _ = surface_normals(jnp.asarray(pts), jnp.asarray(mask),
+                                    cfg.normal_radius_mm, 256)
+    kp = pts[:16]
+    kpm = np.ones(16, bool)
+    d1, v1 = shot.shot_descriptors(
+        jnp.asarray(kp), jnp.asarray(kpm), jnp.asarray(pts),
+        jnp.asarray(mask), normals, cfg, exact_topk=True, topk_chunks=1,
+    )
+    d8, v8 = shot.shot_descriptors(
+        jnp.asarray(kp), jnp.asarray(kpm), jnp.asarray(pts),
+        jnp.asarray(mask), normals, cfg, exact_topk=True, topk_chunks=8,
+    )
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v8))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d8), atol=1e-5)

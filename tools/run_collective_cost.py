@@ -19,7 +19,7 @@ output bytes.  Ring-algorithm wire traffic is ~2x the logical payload
 for all-reduce; the artifact records logical payload bytes and leaves
 the algorithm factor to the reader (noted in the JSON).
 
-Writes COLLECTIVES_r04.json.  Run on CPU (no TPU needed):
+Writes COLLECTIVES_r05.json.  Run on CPU (no TPU needed):
     python tools/run_collective_cost.py
 """
 
@@ -150,7 +150,7 @@ def main() -> None:
     js = json.dumps(artifact, indent=1)
     print(js)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "COLLECTIVES_r04.json"), "w") as f:
+    with open(os.path.join(root, "COLLECTIVES_r05.json"), "w") as f:
         f.write(js + "\n")
 
 
