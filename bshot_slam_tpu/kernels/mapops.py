@@ -81,6 +81,29 @@ def _unpack_tile(words: jnp.ndarray) -> jnp.ndarray:
 # Hamming mutual-NN
 
 
+def _live_tile(j, nv_ref, tile, tail_start):
+    """Tile j overlaps the front-compacted live region [0, n_valid) or the
+    always-live tail [tail_start, end) (previous-frame keypoints appended
+    after the map region; tail_start < 0 disables the tail)."""
+    live = j * tile < nv_ref[0]
+    if tail_start >= 0:
+        live |= j * tile + tile > tail_start
+    return live
+
+
+def _clamped_index(tile, tail_start):
+    """Candidate-tile index map that redirects DEAD tiles to block 0: the
+    Pallas pipeline skips the input DMA when a step requests the same
+    block as the previous step, so the dead middle of a mostly-empty
+    candidate buffer costs grid-iteration overhead only (the scalar
+    prefetch makes n_valid available to the index map)."""
+
+    def index(j, nv_ref):
+        return (jnp.where(_live_tile(j, nv_ref, tile, tail_start), j, 0), 0)
+
+    return index
+
+
 def _hamming_kernel(nv_ref, a_ref, am_ref, pa_ref, bw_ref, bm_ref,
                     amin_ref, aarg_ref, bmin_ref, barg_ref, *, tail_start):
     j = pl.program_id(0)
@@ -90,12 +113,7 @@ def _hamming_kernel(nv_ref, a_ref, am_ref, pa_ref, bw_ref, bm_ref,
         amin_ref[:] = jnp.full_like(amin_ref, _BIG)
         aarg_ref[:] = jnp.zeros_like(aarg_ref)
 
-    # Live when the tile overlaps the front-compacted region [0, n_valid)
-    # or the always-live tail [tail_start, end) (the previous-frame
-    # keypoints appended after the map capacity; tail_start < 0 disables).
-    live = (j * TB < nv_ref[0]) | (
-        (tail_start >= 0) & (j * TB + TB > tail_start)
-    )
+    live = _live_tile(j, nv_ref, TB, tail_start)
 
     @pl.when(live)
     def _():
@@ -148,25 +166,34 @@ def hamming_nn_bounded(
     bm = _pad_rows(b_mask.astype(jnp.float32)[:, None], TB)
     Kp = a.shape[0]
     grid = (bw.shape[0] // TB,)
+    bidx = _clamped_index(TB, tail_start)
     amin, aarg, bmin, barg = pl.pallas_call(
         functools.partial(_hamming_kernel, tail_start=tail_start),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((Kp, a.shape[1]), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, b_words.shape[1]), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TB), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Kp, a.shape[1]), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, b_words.shape[1]), bidx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 1), bidx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TB), lambda j, nv: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TB), lambda j, nv: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((Kp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Kp, 1), jnp.int32),
@@ -185,16 +212,13 @@ def hamming_nn_bounded(
 def _euclid_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, dmin_ref, darg_ref,
                    *, tail_start):
     j = pl.program_id(0)
-    TB_E = TB_EUCLID
 
     @pl.when(j == 0)
     def _():
         dmin_ref[:] = jnp.full_like(dmin_ref, _BIG)
         darg_ref[:] = jnp.zeros_like(darg_ref)
 
-    live = (j * TB_E < nv_ref[0]) | (
-        (tail_start >= 0) & (j * TB_E + TB_E > tail_start)
-    )
+    live = _live_tile(j, nv_ref, TB_EUCLID, tail_start)
 
     @pl.when(live)
     def _():
@@ -212,7 +236,7 @@ def _euclid_kernel(nv_ref, q_ref, qm_ref, r_ref, rm_ref, dmin_ref, darg_ref,
         d2 = jnp.where(ok, d2, _BIG)
         mn, arg = _tile_argmin_lanes(d2)
         better = mn < dmin_ref[:]
-        darg_ref[:] = jnp.where(better, arg + j * TB_E, darg_ref[:])
+        darg_ref[:] = jnp.where(better, arg + j * TB_EUCLID, darg_ref[:])
         dmin_ref[:] = jnp.where(better, mn, dmin_ref[:])
 
 
@@ -234,22 +258,27 @@ def euclid_nn_bounded(
     rm = _pad_rows(ref_mask.astype(jnp.float32)[:, None], TB_EUCLID)
     Kp = qp.shape[0]
     grid = (rp.shape[0] // TB_EUCLID,)
+    ridx = _clamped_index(TB_EUCLID, tail_start)
     dmin, darg = pl.pallas_call(
         functools.partial(_euclid_kernel, tail_start=tail_start),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((Kp, 3), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB_EUCLID, 3), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB_EUCLID, 1), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Kp, 3), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB_EUCLID, 3), ridx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB_EUCLID, 1), ridx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((Kp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Kp, 1), jnp.int32),
@@ -271,7 +300,7 @@ def _dedup_kernel(nv_ref, p_ref, k1_ref, k2_ref, s_ref, mp_ref, mk1_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(j * TB < nv_ref[0])
+    @pl.when(_live_tile(j, nv_ref, TB, -1))
     def _():
         p = p_ref[:]
         m = mp_ref[:]
@@ -331,23 +360,30 @@ def dedup_blocked_bounded(
     mvp = _pad_rows(map_valid.astype(jnp.float32)[:, None], TB)
     Kp = p.shape[0]
     grid = (mp.shape[0] // TB,)
+    midx = _clamped_index(TB, -1)
     out = pl.pallas_call(
         functools.partial(_dedup_kernel, r2=dedup_radius * dedup_radius),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((Kp, 3), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kp, 1), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 3), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((Kp, 1), lambda j: (0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Kp, 3), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 3), midx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 1), midx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 1), midx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 1), midx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, 1), midx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((Kp, 1), lambda j, nv: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((Kp, 1), jnp.int32),
         interpret=interpret,
     )(jnp.asarray(n_valid, jnp.int32).reshape(1), p, k1p, k2p, sp, mp,

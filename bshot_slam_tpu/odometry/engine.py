@@ -87,11 +87,43 @@ class SlamEngine:
     def __init__(self, cfg: SlamConfig, seed: int = 0, tile: int = 2048,
                  enable_backend: bool = False, backend_every: int = 0,
                  pipelined: bool = False, fetch_every: int = 1,
-                 host_preprocess: bool = True, keep_corr: bool = False):
+                 host_preprocess: bool = True, keep_corr: bool = False,
+                 mesh=None, data_axis: str = "data", map_axis: str = "map"):
         from bshot_slam_tpu.backend import keyframes as kf_mod
 
         self.cfg = cfg
         self.tile = tile
+        # Multi-device execution (SURVEY §7 phase 6): with a
+        # jax.sharding.Mesh the engine keeps the map sharded over
+        # `map_axis` and uploads each frame's cloud sharded over
+        # `data_axis`; the SAME jitted step then compiles as a GSPMD
+        # program (jit propagates committed input shardings), and every
+        # host-side state surgery (init, growth, eviction, backend
+        # corrections, resume) re-places the state on the mesh.  On a
+        # multi-process ("hosts", "devices") mesh pass data_axis="devices",
+        # map_axis="hosts".
+        self.mesh = mesh
+        self._data_axis, self._map_axis = data_axis, map_axis
+        if mesh is not None:
+            import dataclasses as _dc
+
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            # Mesh-mode overrides, matching parallel.sharded: window
+            # compaction off (its widx gather would all-gather the map the
+            # map axis already partitions), two-stage top-k on with the
+            # chunk count a multiple of the data-shard count (keeps stage
+            # one shard-local — the collective win that motivates it).
+            n_data = mesh.shape[data_axis]
+            chunks = n_data * max(1, 8 // n_data)
+            self.cfg = cfg = _dc.replace(
+                cfg,
+                runtime=_dc.replace(
+                    cfg.runtime, window_compact=False, topk_chunks=chunks
+                ),
+            )
+            self._pts_sharding = NamedSharding(mesh, _P(data_axis, None))
+            self._mask_sharding = NamedSharding(mesh, _P(data_axis))
         # Default ingest: preprocess on the HOST (numpy) and upload the
         # compact cloud.  The 32-step ground walk is microseconds of ALU
         # work that costs milliseconds (and minutes of XLA compile) on the
@@ -137,6 +169,7 @@ class SlamEngine:
             or [cfg.map.capacity]
         )
         self.state = self.state._replace(map=mapstore.init_map(cfg.map, first))
+        self._place_state()
         self.key = jax.random.PRNGKey(seed)
         self.records: List[FrameRecord] = []
         self.enable_backend = enable_backend
@@ -163,6 +196,24 @@ class SlamEngine:
         self.keep_corr = keep_corr
         self.last_corr: Optional[dict] = None
         self._prev_kp_world: Optional[np.ndarray] = None
+
+    def _place_state(self) -> None:
+        """Sharded mode: (re-)commit the odometry state to the mesh
+        (map rows over the map axis, the rest replicated).  Called after
+        every host-side state surgery; no-op on a single device."""
+        if self.mesh is None:
+            return
+        from bshot_slam_tpu.parallel.sharded import state_shardings
+
+        self.state = jax.device_put(
+            self.state, state_shardings(self.mesh, self._map_axis)
+        )
+
+    def _device_points(self, points) -> jnp.ndarray:
+        """Upload a frame's cloud, sharded over the data axis on a mesh."""
+        if self.mesh is None:
+            return jnp.asarray(points)
+        return jax.device_put(np.asarray(points), self._pts_sharding)
 
     def process_sweep(self, sweep: LaserSweep,
                       selected: Optional[np.ndarray] = None) -> FrameRecord:
@@ -287,7 +338,7 @@ class SlamEngine:
         self.key, sub = jax.random.split(self.key)
         cap = self.state.map.positions.shape[0]
         self.state, diag = pipeline.odometry_step_compact(
-            self.state, jnp.asarray(points), np.int32(n_valid), sub,
+            self.state, self._device_points(points), np.int32(n_valid), sub,
             self.cfg, self.tile,
         )
         if self.pipelined:
@@ -296,6 +347,9 @@ class SlamEngine:
 
     def process_cloud(self, points: jnp.ndarray, pmask: jnp.ndarray,
                       n_valid_dev: Optional[jnp.ndarray] = None):
+        if self.mesh is not None:
+            points = self._device_points(points)
+            pmask = jax.device_put(np.asarray(pmask), self._mask_sharding)
         if self.pipelined and any(e.ri is not None for e in self._pending):
             # Mixed fused/pre-sliced usage: the plain step below has no
             # abort cascade, so an in-flight fused overflow could be
@@ -532,6 +586,7 @@ class SlamEngine:
                 self.state = self.state._replace(
                     map=mapstore.grow_map(self.state.map, b)
                 )
+                self._place_state()
                 return
         if need <= hard_cap:
             return
@@ -542,6 +597,7 @@ class SlamEngine:
         self.state = self.state._replace(
             map=mapstore.evict_keypoints(self.state.map, n_evict)
         )
+        self._place_state()
         evicted = before - int(self.state.map.cursor)
         self.n_evicted += evicted
         if self.pipelined:  # re-sync the host bound to the true cursor
@@ -707,6 +763,7 @@ class SlamEngine:
                 (corr[-1] @ np.asarray(self.state.ref_pose)).astype(np.float32)
             ),
         )
+        self._place_state()
         # Keyframe store poses become the optimized ones so the next graph
         # build does not double-correct.
         self.keyframes = self.keyframes._replace(

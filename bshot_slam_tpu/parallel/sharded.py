@@ -95,15 +95,23 @@ def sharded_odometry_step(
     mask_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
 
-    # Window compaction is a single-chip optimization: its widx gather
-    # would all-gather the map arrays across the map axis (~7 MB/step
-    # measured), while the dense masked scan it replaces is ALREADY
-    # partitioned over that axis (each device scans capacity/n_map rows).
-    # Dense wins on a mesh; compaction wins on one chip.
+    # Mesh-mode config overrides (single-chip and mesh optima differ):
+    #  * window compaction OFF — its widx gather would all-gather the map
+    #    arrays across the map axis (~7 MB/step measured), while the dense
+    #    masked scan it replaces is ALREADY partitioned over that axis.
+    #  * two-stage top-k ON, chunk count a multiple of the data-shard
+    #    count — makes stage one shard-local, replacing GSPMD's
+    #    approx_top_k resharding all-to-all (59 MB/step, r4) with one
+    #    small survivor gather (COLLECTIVES_r05: 71.8 -> 22.7 MB/step).
     import dataclasses as _dc
 
+    n_data = mesh.shape[data_axis]
+    chunks = n_data * max(1, 8 // n_data)
     cfg = _dc.replace(
-        cfg, runtime=_dc.replace(cfg.runtime, window_compact=False)
+        cfg,
+        runtime=_dc.replace(
+            cfg.runtime, window_compact=False, topk_chunks=chunks
+        ),
     )
 
     def _step(state, points, pmask, key):

@@ -24,3 +24,22 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    A 175-test suite accumulates every module's jitted programs (plus
+    their LLVM JIT state and constant buffers) in one process; with the
+    r5 additions that accumulation made XLA:CPU's compiler segfault
+    intermittently near the end of the run (faulthandler trace inside
+    backend_compile_and_load on a graph that compiles fine in
+    isolation).  Dropping caches at module granularity bounds the
+    accumulation; cross-module compile reuse was minimal (distinct
+    configs per module), so the runtime cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -281,7 +281,8 @@ def test_pick_bucket_ladder():
     cfg = default_config()
     assert pick_bucket(100, cfg) == 8192
     assert pick_bucket(8192, cfg) == 8192
-    assert pick_bucket(8193, cfg) == 16384
+    assert pick_bucket(8193, cfg) == 12288
+    assert pick_bucket(12289, cfg) == 16384
     assert pick_bucket(10**6, cfg) == cfg.preprocess.max_points
 
 

@@ -114,10 +114,22 @@ def main() -> int:
                     "work overlaps device compute (records lag; composes "
                     "with --backend — periodic backend passes drain the "
                     "pipeline first)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="N",
+                    help="run the ENGINE over an N-device jax.sharding.Mesh "
+                    "(map rows sharded over the map axis, clouds over the "
+                    "data axis; with --cpu, N virtual host devices are "
+                    "created for validation without hardware)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
     if args.cpu:
+        if args.sharded:
+            import os as _os
+
+            _os.environ["XLA_FLAGS"] = (
+                _os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={args.sharded}"
+            ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -204,17 +216,33 @@ def main() -> int:
 
             sweeps = itertools.islice(sweeps, args.frames)
 
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from bshot_slam_tpu.parallel.sharded import make_mesh
+
+        devs = jax.devices()[: args.sharded]
+        if len(devs) < args.sharded:
+            print(f"need {args.sharded} devices, have {len(jax.devices())}"
+                  " (use --cpu for virtual host devices)", file=sys.stderr)
+            return 1
+        mesh = make_mesh(devs)
+        print(f"engine sharded over {args.sharded} devices: "
+              f"mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     pipelined = args.pipeline
     eng = SlamEngine(cfg, enable_backend=args.backend,
                      backend_every=args.backend_every,
                      pipelined=pipelined,
                      fetch_every=16 if pipelined else 1,
-                     keep_corr=bool(args.live))
+                     keep_corr=bool(args.live), mesh=mesh)
     prior_traj = None
     if args.resume:
         from bshot_slam_tpu.checkpoint import load_backend, load_state
 
         eng.state, prior_poses = load_state(args.resume)
+        eng._place_state()  # sharded mode: re-commit the restored state
         prior_traj = prior_poses[:, :3, 3] if len(prior_poses) else None
         print(f"resumed from {args.resume}: map={int(eng.state.map.cursor)} "
               f"frame_idx={int(eng.state.frame_idx)}")
