@@ -11,6 +11,12 @@ without a display: every N frames it atomically rewrites
     DIR/live.json   machine-readable per-frame stats
     DIR/live.html   (written once) auto-refreshing wrapper — open it in any
                     browser / VS Code preview to watch the run
+    DIR/live3d.html (written once) ROTATABLE 3D viewer: drag to orbit,
+                    wheel to zoom — the headless answer to the reference's
+                    interactive Viz3d camera (ViewerHandler.cpp:65-198);
+                    polls live_points.json
+    DIR/live_points.json  map / trajectory / gold / correspondence points
+                    for the 3D viewer, refreshed with the SVG
 
 Atomic replace (tmp + rename) means a watcher never reads a half-written
 frame.
@@ -30,8 +36,97 @@ _HTML = """<!doctype html>
 <meta http-equiv="refresh" content="1">
 <title>bshot_slam_tpu live</title></head>
 <body style="margin:0;background:#111">
+<a href="live3d.html" style="color:#8cf;font:13px sans-serif">3D view</a>
 <img src="live.svg" style="width:100%;max-width:1100px"/>
 </body></html>
+"""
+
+# Self-contained orbit-camera point viewer: drag = rotate (yaw/pitch),
+# wheel = zoom, double-click = reset.  Replaces the reference's OpenCV
+# Viz3d interactive camera (reference: test/odometry_test.cpp:195-345,
+# src/ViewerHandler.cpp:65-198 camera math) with a headless browser page
+# polling live_points.json.
+_HTML3D = """<!doctype html>
+<html><head><meta charset="utf-8"><title>bshot_slam_tpu 3D</title></head>
+<body style="margin:0;background:#0b0b12;overflow:hidden">
+<canvas id="c"></canvas>
+<div id="hud" style="position:fixed;top:8px;left:10px;color:#9ab;
+ font:12px monospace">drag: rotate &nbsp; wheel: zoom &nbsp;
+ dblclick: reset</div>
+<script>
+const cv = document.getElementById('c'), ctx = cv.getContext('2d');
+let yaw = -0.7, pitch = 0.45, dist = 3.2, data = null, center=[0,0,0];
+function resize(){ cv.width = innerWidth; cv.height = innerHeight; }
+addEventListener('resize', resize); resize();
+let drag = null;
+cv.addEventListener('mousedown', e => drag = [e.clientX, e.clientY]);
+addEventListener('mouseup', () => drag = null);
+addEventListener('mousemove', e => {
+  if (!drag) return;
+  yaw   += (e.clientX - drag[0]) * 0.008;
+  pitch += (e.clientY - drag[1]) * 0.008;
+  pitch = Math.max(-1.55, Math.min(1.55, pitch));
+  drag = [e.clientX, e.clientY]; draw();
+});
+cv.addEventListener('wheel', e => {
+  dist *= Math.exp(e.deltaY * 0.001); draw(); e.preventDefault();
+});
+cv.addEventListener('dblclick', () => { yaw=-0.7; pitch=0.45; dist=3.2; draw(); });
+function project(p, R, scale){
+  const x = p[0]-center[0], y = p[1]-center[1], z = p[2]-center[2];
+  const cx = R[0]*x + R[1]*y + R[2]*z;
+  const cy = R[3]*x + R[4]*y + R[5]*z;
+  const cz = R[6]*x + R[7]*y + R[8]*z + dist*scale;
+  if (cz <= 1) return null;
+  const f = 1.2 * Math.min(cv.width, cv.height);
+  return [cv.width/2 + f*cx/cz, cv.height/2 - f*cy/cz, cz];
+}
+function draw(){
+  ctx.fillStyle = '#0b0b12'; ctx.fillRect(0,0,cv.width,cv.height);
+  if (!data) return;
+  const cy_=Math.cos(yaw), sy=Math.sin(yaw), cp=Math.cos(pitch), sp=Math.sin(pitch);
+  const R = [cy_, sy, 0,  -sy*sp, cy_*sp, cp,  -sy*cp, cy_*cp, -sp];
+  const scale = data.scale || 1;
+  function pts(arr, color, r){
+    ctx.fillStyle = color;
+    for (const p of arr){ const q = project(p, R, scale);
+      if (q) ctx.fillRect(q[0]-r, q[1]-r, 2*r, 2*r); }
+  }
+  function path(arr, color, w){
+    ctx.strokeStyle = color; ctx.lineWidth = w; ctx.beginPath();
+    let started = false;
+    for (const p of arr){ const q = project(p, R, scale);
+      if (!q) { started = false; continue; }
+      started ? ctx.lineTo(q[0], q[1]) : ctx.moveTo(q[0], q[1]);
+      started = true; }
+    ctx.stroke();
+  }
+  pts(data.map || [], '#4f8f4f', 1);
+  if (data.gold && data.gold.length) path(data.gold, '#caa94f', 1.5);
+  if (data.traj && data.traj.length){
+    path(data.traj, '#5fb3ff', 2);
+    pts([data.traj[data.traj.length-1]], '#ff5f5f', 4);
+  }
+  for (const seg of (data.corr || [])){
+    path(seg, '#d06fd0', 1);
+  }
+  ctx.fillStyle = '#9ab'; ctx.font = '12px monospace';
+  ctx.fillText(JSON.stringify(data.stats || {}), 10, cv.height - 12);
+}
+async function tick(){
+  try {
+    const r = await fetch('live_points.json', {cache: 'no-store'});
+    if (r.ok){
+      const d = await r.json();
+      data = d;
+      if (d.center) center = d.center;
+      draw();
+    }
+  } catch (e) {}
+  setTimeout(tick, 1000);
+}
+tick();
+</script></body></html>
 """
 
 
@@ -59,6 +154,7 @@ class LiveView:
         self.size = size
         os.makedirs(out_dir, exist_ok=True)
         _atomic_write(os.path.join(out_dir, "live.html"), _HTML)
+        _atomic_write(os.path.join(out_dir, "live3d.html"), _HTML3D)
 
     def maybe_update(self, engine, gold: Optional[np.ndarray] = None) -> bool:
         n = len(engine.records)
@@ -114,6 +210,29 @@ class LiveView:
         )
         _atomic_write(
             os.path.join(self.dir, "live.json"), json.dumps(stats)
+        )
+        # 3D viewer payload (live3d.html orbits this; mm coordinates, the
+        # camera normalizes by `scale`).
+        every_pt = np.concatenate(
+            [pts, traj] + ([gold] if gold is not None else [])
+        ) if len(pts) or len(traj) else np.zeros((1, 3))
+        center = every_pt.mean(axis=0)
+        scale = float(max(np.abs(every_pt - center).max(), 1.0))
+
+        def _r(a):
+            return np.asarray(a, np.float64).round(0).tolist()
+
+        _atomic_write(
+            os.path.join(self.dir, "live_points.json"),
+            json.dumps({
+                "center": _r(center),
+                "scale": scale,
+                "map": _r(pts),
+                "traj": _r(traj),
+                "gold": _r(gold) if gold is not None else [],
+                "corr": [[_r(a), _r(b)] for a, b in corr_segs],
+                "stats": stats,
+            }),
         )
 
     def _render_svg(self, traj, map_pts, gold, stats, corr_segs=()) -> str:

@@ -172,6 +172,13 @@ def test_run_odometry_live_view_and_step(tmp_path):
     # least one matched frame rendered its pairs.
     assert stats["corr_drawn"] > 0
     assert "inlier correspondences" in svg and "<line" in svg
+    # Rotatable 3D viewer (headless Viz3d replacement): page + payload.
+    assert "orbit" in (live / "live3d.html").read_text().lower() or \
+        "rotate" in (live / "live3d.html").read_text()
+    p3 = _json.loads((live / "live_points.json").read_text())
+    assert len(p3["traj"]) == 3 and len(p3["map"]) > 0
+    assert len(p3["map"][0]) == 3 and p3["scale"] > 0
+    assert p3["corr"] and len(p3["corr"][0]) == 2
 
 
 @pytest.mark.slow

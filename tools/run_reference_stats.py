@@ -34,6 +34,23 @@ import types
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Known scene-driven deviations (not detector defects): the ray-cast
+# static scene places structure at 8-20 m, where the HDL-32E's 1.33deg
+# ring spacing (~230 mm at 10 m) starves ISS's tiny 60 mm salient ball
+# (reference: lidar_odometry.cpp:447-461), so ISS fires rarely; moving
+# structure closer (the adversarial near-field scene) raised ISS counts
+# 31 -> 110 at median range 16.9 -> 10.6 m, confirming density (not the
+# detector, which has its own unit oracles in test_keypoints.py) is the
+# driver.  CVS/CVSN correspondence counts shift with the same scene
+# saliency distribution; CV — the variant the reference's driver actually
+# runs (odometry_test.cpp:33) — overlaps on both count and distance.
+NOTES = {
+    "iss_repeatability": "scene density (see module docstring NOTES)",
+    "iss_count": "scene density (see module docstring NOTES)",
+    "corr_count_CVS": "scene saliency distribution",
+    "corr_count_CVSN": "scene saliency distribution",
+}
+
 REFERENCE = {
     "sr_repeatability": {
         "ref_range": [0.697, 0.817],
@@ -131,6 +148,8 @@ def main() -> int:
             "ref_source": ref["ref_source"],
             "overlaps_reference": bool(overlap),
         }
+        if not overlap and k in NOTES:
+            rows[k]["disjoint_cause"] = NOTES[k]
         print(f"{k:26s} ours={ours[k]}  ref={ref['ref_range']} "
               f"({'overlap' if overlap else 'DISJOINT'})")
 

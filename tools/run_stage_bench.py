@@ -173,19 +173,31 @@ def main() -> None:
         )
         return m.cursor
 
-    def fence(x):
-        # Fetch one scalar element per leaf: block_until_ready alone can
-        # return early through the axon remote tunnel.
-        for leaf in jax.tree_util.tree_leaves(x):
-            np.asarray(jnp.ravel(leaf)[0])
+    def scalarize(fn):
+        """Fold every output leaf into ONE scalar inside the jit: the
+        fence is then a single device->host fetch.  (Per-leaf fetches are
+        ~25 ms RPCs each through the axon tunnel; with 4-leaf outputs they
+        inflated a 20-iter measurement by ~5 ms/iter — the r4 artifact
+        carried that bias.)  Full-leaf sums, not slices, so XLA cannot
+        dead-code-eliminate the stage being measured."""
+
+        def wrapped(*a):
+            out = fn(*a)
+            return functools.reduce(
+                lambda acc, leaf: acc + jnp.sum(leaf).astype(jnp.float32),
+                jax.tree_util.tree_leaves(out), jnp.float32(0.0),
+            )
+
+        return jax.jit(wrapped)
 
     def timeit(fn, *a):
+        fn = scalarize(fn)
         out = fn(*a)  # compile
-        fence(out)
+        np.asarray(out)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(*a)
-        fence(out)
+        np.asarray(out)
         return (time.perf_counter() - t0) / args.iters * 1e3
 
     T0, _ = match_fn(key, feats, state)
