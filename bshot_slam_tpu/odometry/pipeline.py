@@ -228,7 +228,7 @@ def _match_and_estimate(
     use_compact = cfg.runtime.window_compact and capacity > W
     if use_compact:
         n_win = jnp.sum(win.astype(jnp.int32))
-        widx = jnp.nonzero(win, size=W, fill_value=capacity - 1)[0]
+        widx = mapstore.compact_indices(win, W)
         wmask = jnp.arange(W, dtype=jnp.int32) < n_win
         overflow = n_win > W
 

@@ -35,6 +35,21 @@ def test_run_odometry_synthetic(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_odometry_sharded_cli(tmp_path):
+    """--sharded N drives the ENGINE over an N-virtual-device mesh from
+    the CLI (SURVEY §7 phase 6; BASELINE configs 3-6 describe sharded
+    sequence execution)."""
+    out = tmp_path / "traj.txt"
+    stdout = run_tool(
+        "run_odometry.py", "--synthetic", "3", "--n-azimuth", "256",
+        "--cpu", "--sharded", "4", "--out", str(out),
+    )
+    assert "engine sharded over 4 devices" in stdout
+    assert "frame    2" in stdout
+    assert len(out.read_text().strip().splitlines()) == 3
+
+
+@pytest.mark.slow
 def test_run_odometry_pipelined(tmp_path):
     """--pipeline defers diagnostics fetches; trajectory must still save
     every frame after the implicit flush."""
