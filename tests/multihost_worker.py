@@ -5,13 +5,17 @@ Usage: python tests/multihost_worker.py <process_id> <num_processes> <port>
 
 Joins the jax.distributed runtime over localhost, builds the
 ("hosts", "devices") mesh (each process contributing 4 virtual CPU
-devices), runs ONE sharded odometry step on a tiny scene, and checks:
+devices), and checks:
 
-  * the step's pose/diagnostics match this process's own single-process
-    reference run (GSPMD correctness across processes);
+  * ONE sharded odometry step's pose/diagnostics match this process's own
+    single-process reference run (GSPMD correctness across processes);
   * the global map is PHYSICALLY partitioned: this process addresses only
     its own half of the map rows (sharding across hosts, SURVEY §7
-    phase 6 — not silent replication).
+    phase 6 — not silent replication);
+  * the ENGINE runs a short multi-frame SEQUENCE over the process-spanning
+    mesh (SPMD host loop: both processes execute identical host code) and
+    its trajectory matches the single-process engine (r4 weak #1's
+    multihost leg: the worker used to run exactly one step).
 
 Prints "MULTIHOST_OK pid=<i>" on success; any assertion kills the rc.
 """
@@ -106,6 +110,35 @@ def main() -> None:
     packed = np.asarray(diag.packed)
     np.testing.assert_allclose(packed[:16], ref_packed[:16], atol=1e-4)
     assert int(packed[21]) == int(ref_packed[21])  # map_size identical
+
+    # --- ENGINE sequence over the process-spanning mesh (SPMD host loop:
+    # every process executes the same host code; replicated scalars are
+    # addressable everywhere, map rows only on their owner host) ---
+    from bshot_slam_tpu.io import synthetic
+    from bshot_slam_tpu.odometry.engine import SlamEngine
+
+    n_frames = 4
+    sweeps, _ = synthetic.render_sequence(
+        n_frames, cfg.sensor, step_mm=350.0, noise_mm=10.0, seed=5,
+        n_firings=cfg.sensor.n_azimuth,
+    )
+    local_eng = SlamEngine(cfg, seed=0, tile=256)
+    for sw in sweeps:
+        local_eng.process_sweep(sw)
+
+    dist_eng = SlamEngine(cfg, seed=0, tile=256, mesh=mesh,
+                          data_axis="devices", map_axis="hosts")
+    for sw in sweeps:
+        dist_eng.process_sweep(sw)
+    assert len(dist_eng.records) == n_frames
+    dev = np.linalg.norm(dist_eng.trajectory - local_eng.trajectory, axis=-1)
+    assert dev.max() < 10.0, dev
+    # Map still physically split across hosts after the sequence.
+    pos = dist_eng.state.map.positions
+    Ceng = pos.shape[0]
+    for sh in pos.addressable_shards:
+        assert sh.data.shape[0] == Ceng // nproc, sh.data.shape
+        assert (sh.index[0].start or 0) == (Ceng // nproc) * pid
 
     print(f"MULTIHOST_OK pid={pid}", flush=True)
 
