@@ -130,7 +130,7 @@ def main(n_frames: int = 129, full: bool = False) -> None:
     # trajectory must not ship a better-looking bench): ATE vs the exact
     # synthetic ground truth rides in the headline JSON, and a collapsed
     # run (inliers below the pose gate on the final frames, or ATE beyond
-    # 5% of path length) fails the bench loudly.
+    # 10% of path length) fails the bench loudly.
     from bshot_slam_tpu.utils.metrics import ate_rmse
 
     gt_rel = np.linalg.inv(gt[0])[None] @ gt

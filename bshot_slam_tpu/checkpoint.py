@@ -166,6 +166,10 @@ def load_backend(path: str, engine) -> bool:
         engine._last_kf_pose = z["last_kf_pose"]
         engine._frames_since_kf = int(z["frames_since_kf"])
         engine.key = _jnp.asarray(z["rng_key"])
-        # Host mirror of the device count (saturation/eviction policy).
+        # Host mirrors of the device store (saturation/eviction policy
+        # runs without device syncs).
         engine._kf_count = int(z["kf_count"])
+        engine._kf_positions = list(
+            z["kf_poses"][: engine._kf_count, :3, 3].astype(np.float32)
+        )
     return True

@@ -105,25 +105,26 @@ class SlamEngine:
         self.mesh = mesh
         self._data_axis, self._map_axis = data_axis, map_axis
         if mesh is not None:
-            import dataclasses as _dc
-
             from jax.sharding import NamedSharding, PartitionSpec as _P
 
-            # Mesh-mode overrides, matching parallel.sharded: window
-            # compaction off (its widx gather would all-gather the map the
-            # map axis already partitions), two-stage top-k on with the
-            # chunk count a multiple of the data-shard count (keeps stage
-            # one shard-local — the collective win that motivates it).
-            n_data = mesh.shape[data_axis]
-            chunks = n_data * max(1, 8 // n_data)
-            self.cfg = cfg = _dc.replace(
-                cfg,
-                runtime=_dc.replace(
-                    cfg.runtime, window_compact=False, topk_chunks=chunks
-                ),
+            from bshot_slam_tpu.parallel.sharded import mesh_runtime_overrides
+
+            self.cfg = cfg = mesh_runtime_overrides(
+                cfg, mesh.shape[data_axis]
             )
             self._pts_sharding = NamedSharding(mesh, _P(data_axis, None))
             self._mask_sharding = NamedSharding(mesh, _P(data_axis))
+            # The device-preprocessed FUSED ingest (host_preprocess=False
+            # + pipelined) uploads range images un-sharded; on a
+            # process-spanning mesh that mixes locally-committed inputs
+            # with globally-sharded state.  Mesh mode supports the
+            # host-preprocess (default) and process_cloud ingests.
+            if not host_preprocess and pipelined:
+                raise ValueError(
+                    "mesh mode requires the host-preprocess ingest "
+                    "(host_preprocess=True) in pipelined mode; the fused "
+                    "device-preprocess path is single-device-only"
+                )
         # Default ingest: preprocess on the HOST (numpy) and upload the
         # compact cloud.  The 32-step ground walk is microseconds of ALU
         # work that costs milliseconds (and minutes of XLA compile) on the
@@ -181,10 +182,13 @@ class SlamEngine:
         self._warned_drop = False
         self._warned_evict = False
         self.n_evicted = 0  # cumulative keypoints evicted at capacity
-        # Keyframe saturation: host mirror of keyframes.count (so the
-        # pipelined path never syncs on it), cumulative evictions, and the
-        # one-time warning flag.
+        # Keyframe saturation: host mirrors of keyframes.count and the
+        # keyframe positions (so neither the pipelined path nor the
+        # eviction slot picker ever syncs on the device store — each
+        # device->host fetch is a ~25 ms RPC on remoted backends),
+        # cumulative evictions, and the one-time warning flag.
         self._kf_count = 0
+        self._kf_positions: List[np.ndarray] = []
         self.n_kf_evicted = 0
         self._warned_kf_evict = False
         # keep_corr: retain each finalized frame's correspondence pairs
@@ -627,11 +631,12 @@ class SlamEngine:
         Mk = self.cfg.backend.max_keyframes
         if self._kf_count >= Mk:
             slot = kf_mod.pick_eviction_slot(
-                np.asarray(self.keyframes.poses[:, :3, 3]), self._kf_count
+                np.asarray(self._kf_positions), self._kf_count
             )
             self.keyframes = kf_mod.evict_keyframe(
                 self.keyframes, jnp.asarray(slot, jnp.int32)
             )
+            del self._kf_positions[slot]
             self._kf_count -= 1
             self.n_kf_evicted += 1
             if not self._warned_kf_evict:
@@ -659,6 +664,7 @@ class SlamEngine:
             jnp.asarray(abs_frame), obs_lm,
         )
         self._kf_count += 1
+        self._kf_positions.append(np.asarray(rec.pose[:3, 3]))
         self._last_kf_pose = rec.pose
         self._frames_since_kf = 1
 
@@ -769,6 +775,8 @@ class SlamEngine:
         self.keyframes = self.keyframes._replace(
             poses=self.keyframes.poses.at[:n_kf].set(jnp.asarray(kf_opt))
         )
+        # Host position mirror follows (it feeds the eviction slot picker).
+        self._kf_positions[:n_kf] = list(kf_opt[:, :3, 3])
         self._last_kf_pose = (corr_kf[-1] @ self._last_kf_pose).astype(
             np.float32
         )

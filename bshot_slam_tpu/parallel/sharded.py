@@ -80,6 +80,29 @@ def state_shardings(mesh: Mesh, map_axis: str = "map") -> OdometryState:
     )
 
 
+def mesh_runtime_overrides(cfg: SlamConfig, n_data: int) -> SlamConfig:
+    """Config overrides for MESH execution (single-chip and mesh optima
+    differ; used by both sharded_odometry_step and SlamEngine mesh mode):
+
+      * window compaction OFF — its widx gather would all-gather the map
+        arrays across the map axis (~7 MB/step measured), while the dense
+        masked scan it replaces is ALREADY partitioned over that axis.
+      * two-stage top-k ON, chunk count a multiple of the data-shard
+        count — makes stage one shard-local, replacing GSPMD's
+        approx_top_k resharding all-to-all (59 MB/step, r4) with one
+        small survivor gather (COLLECTIVES_r05: 71.8 -> 22.7 MB/step).
+    """
+    import dataclasses as _dc
+
+    chunks = n_data * max(1, 8 // n_data)
+    return _dc.replace(
+        cfg,
+        runtime=_dc.replace(
+            cfg.runtime, window_compact=False, topk_chunks=chunks
+        ),
+    )
+
+
 def sharded_odometry_step(
     mesh: Mesh, cfg: SlamConfig, tile: int = 2048,
     data_axis: str = "data", map_axis: str = "map",
@@ -95,24 +118,7 @@ def sharded_odometry_step(
     mask_sh = NamedSharding(mesh, P(data_axis))
     repl = NamedSharding(mesh, P())
 
-    # Mesh-mode config overrides (single-chip and mesh optima differ):
-    #  * window compaction OFF — its widx gather would all-gather the map
-    #    arrays across the map axis (~7 MB/step measured), while the dense
-    #    masked scan it replaces is ALREADY partitioned over that axis.
-    #  * two-stage top-k ON, chunk count a multiple of the data-shard
-    #    count — makes stage one shard-local, replacing GSPMD's
-    #    approx_top_k resharding all-to-all (59 MB/step, r4) with one
-    #    small survivor gather (COLLECTIVES_r05: 71.8 -> 22.7 MB/step).
-    import dataclasses as _dc
-
-    n_data = mesh.shape[data_axis]
-    chunks = n_data * max(1, 8 // n_data)
-    cfg = _dc.replace(
-        cfg,
-        runtime=_dc.replace(
-            cfg.runtime, window_compact=False, topk_chunks=chunks
-        ),
-    )
+    cfg = mesh_runtime_overrides(cfg, mesh.shape[data_axis])
 
     def _step(state, points, pmask, key):
         return pipeline.odometry_step.__wrapped__(

@@ -43,6 +43,29 @@ def fence(tree) -> None:
                 int(x)
 
 
+def scalarized(fn: Callable) -> Callable:
+    """Wrap `fn` in a jit whose output is ONE scalar folding every output
+    leaf: a timing fence is then a single device->host fetch.  Per-leaf
+    fetches are ~25 ms RPCs each through the axon tunnel, which inflated
+    multi-leaf stage timings by ~5 ms/iter in early artifacts (STAGE_r04).
+    Full-leaf sums, not first-element slices — slicing would let XLA
+    dead-code-eliminate the bulk of elementwise stages being measured.
+    Used by tools/run_stage_bench.py and tools/run_feature_profile.py."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*a):
+        out = fn(*a)
+        return functools.reduce(
+            lambda acc, leaf: acc + jnp.sum(leaf).astype(jnp.float32),
+            jax.tree_util.tree_leaves(out), jnp.float32(0.0),
+        )
+
+    return jax.jit(wrapped)
+
+
 def device_timer(fn: Callable, *args, reps: int = 5, warmup: int = 1,
                  **kwargs) -> float:
     """Median-free mean ms/rep of fn(*args) with completion fencing."""

@@ -131,7 +131,9 @@ def test_engine_sharded_checkpoint_resume():
         resumed.state, _ = ckpt.load_state(d)
         resumed._place_state()
         assert ckpt.load_backend(d, resumed)
-        resumed._kf_count = int(resumed.keyframes.count)
+        # (load_backend restores _kf_count itself — don't re-derive it
+        # here, that would mask a regression in the restore.)
+        assert resumed._kf_count == int(resumed.keyframes.count)
         _drive(resumed, sweeps[n_a:])
 
     assert len(resumed.records) == n_b

@@ -138,22 +138,7 @@ def main() -> None:
         functools.partial(pipeline.compute_features, cfg=cfg, tile=tile)
     )
 
-    def scalarize(fn):
-        """Wrap fn so the timed jit returns ONE scalar depending on every
-        output leaf: the fence then costs a single device->host fetch
-        (per-leaf fetches are ~25 ms RPCs each through the axon tunnel and
-        would swamp multi-leaf stages)."""
-
-        def wrapped(*a):
-            out = fn(*a)
-            # Full-leaf sums (not first-element slices): slicing would let
-            # XLA dead-code-eliminate the bulk of elementwise stages.
-            return functools.reduce(
-                lambda acc, leaf: acc + jnp.sum(leaf).astype(jnp.float32),
-                jax.tree_util.tree_leaves(out), jnp.float32(0.0),
-            )
-
-        return jax.jit(wrapped)
+    from bshot_slam_tpu.utils.profiling import scalarized as scalarize
 
     def timeit(fn, *a):
         out = fn(*a)

@@ -173,22 +173,7 @@ def main() -> None:
         )
         return m.cursor
 
-    def scalarize(fn):
-        """Fold every output leaf into ONE scalar inside the jit: the
-        fence is then a single device->host fetch.  (Per-leaf fetches are
-        ~25 ms RPCs each through the axon tunnel; with 4-leaf outputs they
-        inflated a 20-iter measurement by ~5 ms/iter — the r4 artifact
-        carried that bias.)  Full-leaf sums, not slices, so XLA cannot
-        dead-code-eliminate the stage being measured."""
-
-        def wrapped(*a):
-            out = fn(*a)
-            return functools.reduce(
-                lambda acc, leaf: acc + jnp.sum(leaf).astype(jnp.float32),
-                jax.tree_util.tree_leaves(out), jnp.float32(0.0),
-            )
-
-        return jax.jit(wrapped)
+    from bshot_slam_tpu.utils.profiling import scalarized as scalarize
 
     def timeit(fn, *a):
         fn = scalarize(fn)
