@@ -40,8 +40,20 @@ class PoseGraphResult(NamedTuple):
     final_cost: jnp.ndarray
 
 
+# Huber threshold on the WEIGHTED edge residual norm (i.e. in sigmas:
+# weights are 1/sigma^2, so a residual at its own sigma has norm ~1).
+# Within _HUBER_DELTA the cost is quadratic — consistent graphs (all the
+# unit tests, genuine closures) behave exactly as before; beyond it an
+# edge's influence grows only linearly, so a CONTRADICTORY measurement
+# (an aliased loop closure verified against repetitive structure —
+# observed corrupting multi-lap drives, R5_NOTES "known limitation")
+# cannot bend the whole trajectory around itself.
+_HUBER_DELTA = 2.0
+
+
 def _residuals(xi: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
-    """(E, 6) weighted edge residuals given (M, 6) node twists."""
+    """(E, 6) weighted (non-robustified) edge residuals for (M, 6) node
+    twists."""
     T = jnp.matmul(g.poses0, se3.se3_exp(xi))
     Ti = T[g.edge_i]
     Tj = T[g.edge_j]
@@ -50,6 +62,21 @@ def _residuals(xi: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
     r = se3.se3_log(err)
     w = jnp.sqrt(g.edge_weight) * g.edge_mask.astype(jnp.float32)
     return r * w[:, None]
+
+
+def _huber_rho(rn: jnp.ndarray) -> jnp.ndarray:
+    """Huber loss of a weighted residual norm (quadratic within
+    _HUBER_DELTA, linear beyond)."""
+    d = _HUBER_DELTA
+    return jnp.where(rn <= d, rn * rn, d * (2.0 * rn - d))
+
+
+def _huber_weights(rw: jnp.ndarray) -> jnp.ndarray:
+    """(E,) IRLS sqrt-weights for the current residuals — FROZEN per LM
+    iteration (differentiating through the weight cancels the descent
+    direction and stalls LM; standard iteratively-reweighted practice)."""
+    rn = jnp.linalg.norm(rw, axis=-1)
+    return jnp.sqrt(jnp.minimum(1.0, _HUBER_DELTA / jnp.maximum(rn, 1e-12)))
 
 
 _MM_PER_M = 1000.0
@@ -80,13 +107,21 @@ def optimize_pose_graph(
     M = g.poses0.shape[0]
 
     def cost(xi):
-        r = _residuals(xi, g)
-        return 0.5 * jnp.sum(r * r) + 0.5 * anchor_weight * jnp.sum(xi[0] ** 2)
+        # True robust objective: Huber on the weighted residual norms.
+        rn = jnp.linalg.norm(_residuals(xi, g), axis=-1)
+        return (
+            0.5 * jnp.sum(_huber_rho(rn))
+            + 0.5 * anchor_weight * jnp.sum(xi[0] ** 2)
+        )
 
     def lm_step(carry, _):
         xi, lam = carry
-        r = _residuals(xi, g)  # (E, 6)
-        J = jax.jacrev(lambda x: _residuals(x, g).reshape(-1))(xi)  # (6E, M, 6)
+        rw = _residuals(xi, g)  # (E, 6)
+        hub = _huber_weights(rw)  # frozen IRLS weights this iteration
+        r = rw * hub[:, None]
+        J = jax.jacrev(
+            lambda x: (_residuals(x, g) * hub[:, None]).reshape(-1)
+        )(xi)  # (6E, M, 6)
         Jf = J.reshape(-1, M * 6)
         H = Jf.T @ Jf
         b = -Jf.T @ r.reshape(-1)
